@@ -1,0 +1,29 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+The reference had no test suite at all (SURVEY.md §4); here every op and
+module is tested on CPU, and multi-chip sharding tests use the virtual
+device mesh — set up before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override e.g. JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The env var alone is not enough when a TPU plugin (axon) is present —
+# force the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,94 @@
+"""Parity tests for ball query / grouping vs the CUDA semantics
+(ball_query_gpu.cu:9-54, group_points_gpu.cu:8-75)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scan2cap_tpu.ops import ball_query, group_points, query_and_group
+
+
+def ball_query_numpy(xyz, new_xyz, radius, nsample):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    out = np.zeros((B, M, nsample), dtype=np.int32)
+    r2 = radius ** 2
+    for b in range(B):
+        for j in range(M):
+            cnt = 0
+            for k in range(N):
+                d2 = ((new_xyz[b, j] - xyz[b, k]) ** 2).sum()
+                if d2 < r2:
+                    if cnt == 0:
+                        out[b, j, :] = k
+                    out[b, j, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return out
+
+
+def test_ball_query_matches_numpy(rng):
+    xyz = rng.rand(2, 120, 3).astype(np.float32)
+    new_xyz = xyz[:, :20]
+    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 8))
+    want = ball_query_numpy(xyz, new_xyz, 0.2, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_pads_with_first_hit(rng):
+    # a center whose ball contains exactly one point -> all slots repeat it
+    xyz = np.zeros((1, 10, 3), np.float32)
+    xyz[0, :, 0] = np.arange(10) * 10.0
+    new_xyz = xyz[:, 3:4]
+    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.5, 4))
+    np.testing.assert_array_equal(got[0, 0], [3, 3, 3, 3])
+
+
+def test_ball_query_no_hit_returns_zero():
+    xyz = np.ones((1, 5, 3), np.float32) * 100.0
+    new_xyz = np.zeros((1, 2, 3), np.float32)
+    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.1, 3))
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_ball_query_chunked_matches_unchunked(rng):
+    xyz = rng.rand(1, 300, 3).astype(np.float32)
+    new_xyz = rng.rand(1, 70, 3).astype(np.float32)
+    a = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.3, 6, chunk=16))
+    b = ball_query_numpy(xyz, new_xyz, 0.3, 6)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_group_points_and_grad(rng):
+    feats = rng.randn(2, 30, 5).astype(np.float32)
+    idx = rng.randint(0, 30, size=(2, 4, 3)).astype(np.int32)
+    got = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx)))
+    want = np.stack([feats[b][idx[b]] for b in range(2)])
+    np.testing.assert_allclose(got, want)
+
+    def f(x):
+        return (group_points(x, jnp.asarray(idx)) ** 2).sum()
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+    want_g = np.zeros_like(feats)
+    for b in range(2):
+        for m in range(4):
+            for s in range(3):
+                want_g[b, idx[b, m, s]] += 2 * feats[b, idx[b, m, s]]
+    np.testing.assert_allclose(g, want_g, rtol=1e-5)
+
+
+def test_query_and_group_normalize(rng):
+    xyz = rng.rand(1, 60, 3).astype(np.float32)
+    new_xyz = xyz[:, :5]
+    feats = rng.randn(1, 60, 4).astype(np.float32)
+    out, grouped_xyz = query_and_group(
+        jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(feats),
+        radius=0.4, nsample=6, use_xyz=True, normalize_xyz=True,
+        ret_grouped_xyz=True)
+    assert out.shape == (1, 5, 6, 7)
+    idx = ball_query_numpy(xyz, new_xyz, 0.4, 6)
+    want_xyz = (xyz[0][idx[0]] - new_xyz[0][:, None, :]) / 0.4
+    np.testing.assert_allclose(np.asarray(grouped_xyz)[0], want_xyz, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[0, ..., 3:], feats[0][idx[0]], rtol=1e-5)
