@@ -102,6 +102,8 @@ class ModelConfig:
 
     num_points: int = 40000          # scripts/train.py:320
     num_proposals: int = 256         # scripts/train.py:321
+    # SA-layer point counts (backbone_module.py:28-62); shrink for tests
+    sa_npoints: Tuple[int, int, int, int] = (2048, 1024, 512, 256)
     max_num_obj: int = 128           # lib/dataset.py:28
     max_des_len: int = 30            # lib/config.py:63 (tokens excl. sos/eos)
     num_bins: int = 6                # lib/config.py:67 (edge orientation bins)
@@ -114,7 +116,7 @@ class ModelConfig:
     hidden_size: int = 512           # caption decoder hidden
     num_locals: int = 10             # README.md:145 canonical config
     num_graph_steps: int = 0
-    query_mode: str = "corner"       # scripts/train.py:326
+    query_mode: str = "center"       # scripts/train.py:329 default
     graph_mode: str = "edge_conv"    # scripts/train.py:327
     graph_aggr: str = "add"
     use_relation: bool = False

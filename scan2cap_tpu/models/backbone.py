@@ -1,0 +1,143 @@
+"""PointNet++ backbone: 4 SA layers + 2 FP layers.
+
+TPU-native rebuild of models/backbone_module.py:22-127 and the SA/FP modules
+in lib/pointnet2/pointnet2_modules.py:164-416.  Channels-last; every grouping
+output is (B, npoint, nsample, C) and the per-group PointNet is a SharedMLP
+followed by a max over the sample axis — one big MXU matmul per layer.
+
+Architecture constants (backbone_module.py:28-66):
+  sa1: 2048 pts, r=0.2, 64 smp, mlp [C, 64, 64, 128]
+  sa2: 1024 pts, r=0.4, 32 smp, mlp [128, 128, 128, 256]
+  sa3:  512 pts, r=0.8, 16 smp, mlp [256, 128, 128, 256]
+  sa4:  256 pts, r=1.2, 16 smp, mlp [256, 128, 128, 256]
+  fp1/fp2: mlp [256+256, 256, 256]
+All SA layers use_xyz + normalize_xyz; seeds are the 1024 fp2 points with
+fp2_inds = sa1_inds[:, :1024] (backbone_module.py:119-126).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scan2cap_tpu.models.layers import SharedMLP
+from scan2cap_tpu.ops import (
+    furthest_point_sample,
+    gather_points,
+    query_and_group,
+    three_nn,
+    three_interpolate,
+)
+from scan2cap_tpu.ops.interpolate import interpolation_weights
+
+
+class PointnetSAModuleVotes(nn.Module):
+    """Single-scale set-abstraction layer (pointnet2_modules.py:164-272)."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]          # output widths (input width inferred)
+    use_xyz: bool = True
+    normalize_xyz: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,                       # (B, N, 3)
+        features: Optional[jax.Array],        # (B, N, C) or None
+        inds: Optional[jax.Array] = None,     # (B, npoint) optional FPS inds
+        train: bool = True,
+        bn_momentum: jax.Array | float = 0.1,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if inds is None:
+            inds = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, inds)    # (B, npoint, 3)
+        grouped = query_and_group(
+            xyz, new_xyz, features, self.radius, self.nsample,
+            use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
+        )                                     # (B, npoint, nsample, 3+C)
+        out = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
+        new_features = jnp.max(out, axis=2)   # (B, npoint, mlp[-1])
+        return new_xyz, new_features, inds
+
+
+class PointnetFPModule(nn.Module):
+    """Feature-propagation layer (pointnet2_modules.py:356-416)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown: jax.Array,                   # (B, n, 3)
+        known: jax.Array,                     # (B, m, 3)
+        unknown_feats: Optional[jax.Array],   # (B, n, C1) or None
+        known_feats: jax.Array,               # (B, m, C2)
+        train: bool = True,
+        bn_momentum: jax.Array | float = 0.1,
+    ) -> jax.Array:
+        dist, idx = three_nn(unknown, known)
+        weight = interpolation_weights(dist)
+        interpolated = three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        return SharedMLP(self.mlp, name="mlp")(new_features, train, bn_momentum)
+
+
+class Pointnet2Backbone(nn.Module):
+    """models/backbone_module.py:22-127, channels-last."""
+
+    input_feature_dim: int = 0
+    sa_npoints: Tuple[int, int, int, int] = (2048, 1024, 512, 256)
+
+    @nn.compact
+    def __call__(self, data_dict: dict, train: bool = True,
+                 bn_momentum: jax.Array | float = 0.1) -> dict:
+        pc = data_dict["point_clouds"]        # (B, N, 3 + input_feature_dim)
+        xyz = pc[..., :3]
+        features = pc[..., 3:] if pc.shape[-1] > 3 else None
+
+        d = dict(data_dict)
+        np1, np2, np3, np4 = self.sa_npoints
+
+        xyz, features, inds = PointnetSAModuleVotes(
+            np1, 0.2, 64, (64, 64, 128), name="sa1")(
+                xyz, features, None, train, bn_momentum)
+        d["sa1_inds"], d["sa1_xyz"], d["sa1_features"] = inds, xyz, features
+
+        xyz, features, inds = PointnetSAModuleVotes(
+            np2, 0.4, 32, (128, 128, 256), name="sa2")(
+                xyz, features, None, train, bn_momentum)
+        d["sa2_inds"], d["sa2_xyz"], d["sa2_features"] = inds, xyz, features
+
+        xyz, features, _ = PointnetSAModuleVotes(
+            np3, 0.8, 16, (128, 128, 256), name="sa3")(
+                xyz, features, None, train, bn_momentum)
+        d["sa3_xyz"], d["sa3_features"] = xyz, features
+
+        xyz, features, _ = PointnetSAModuleVotes(
+            np4, 1.2, 16, (128, 128, 256), name="sa4")(
+                xyz, features, None, train, bn_momentum)
+        d["sa4_xyz"], d["sa4_features"] = xyz, features
+
+        features = PointnetFPModule((256, 256), name="fp1")(
+            d["sa3_xyz"], d["sa4_xyz"], d["sa3_features"], d["sa4_features"],
+            train, bn_momentum)
+        features = PointnetFPModule((256, 256), name="fp2")(
+            d["sa2_xyz"], d["sa3_xyz"], d["sa2_features"], features,
+            train, bn_momentum)
+
+        d["fp2_features"] = features          # (B, 1024, 256)
+        d["fp2_xyz"] = d["sa2_xyz"]
+        num_seed = d["fp2_xyz"].shape[1]
+        # indices of the seed points into the raw cloud
+        # (backbone_module.py:124-126): sa2 sampled from sa1's 2048 points,
+        # whose fps inds are just 0..1023, so fp2_inds = sa1_inds[:, :1024]
+        d["fp2_inds"] = d["sa1_inds"][:, :num_seed]
+        return d

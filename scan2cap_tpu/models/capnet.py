@@ -1,0 +1,107 @@
+"""CapNet — full detect-then-describe pipeline (models/capnet.py:16-123).
+
+backbone → voting (+ L2 feature norm, capnet.py:96-98) → proposal →
+[graph] → [caption].  One Flax module; the whole forward compiles to a
+single XLA program with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from scan2cap_tpu.config import ModelConfig, SCANNET_MEAN_SIZE_ARR
+from scan2cap_tpu.models.backbone import Pointnet2Backbone
+from scan2cap_tpu.models.voting import VotingModule
+from scan2cap_tpu.models.proposal import ProposalModule
+from scan2cap_tpu.models.graph import GraphModule
+from scan2cap_tpu.models.caption import (
+    SceneCaptionModule,
+    TopDownSceneCaptionModule,
+)
+
+
+class CapNet(nn.Module):
+    cfg: ModelConfig
+    num_vocabs: int = 4
+    use_oracle: bool = False
+
+    @nn.compact
+    def __call__(self, data_dict: dict, use_tf: bool = True,
+                 is_eval: bool = False, train: bool = True,
+                 bn_momentum: jax.Array | float = 0.1) -> dict:
+        cfg = self.cfg
+
+        # --------- detection branch ---------
+        d = Pointnet2Backbone(cfg.input_feature_dim, cfg.sa_npoints,
+                              name="backbone_net")(
+            data_dict, train, bn_momentum)
+
+        d["seed_inds"] = d["fp2_inds"]
+        d["seed_xyz"] = d["fp2_xyz"]
+        d["seed_features"] = d["fp2_features"]
+
+        vote_xyz, vote_features = VotingModule(
+            cfg.vote_factor, 256, name="vgen")(
+                d["fp2_xyz"], d["fp2_features"], train, bn_momentum)
+        # L2-normalize vote features (capnet.py:97-98)
+        norm = jnp.linalg.norm(vote_features, axis=-1, keepdims=True)
+        vote_features = vote_features / norm
+        d["vote_xyz"] = vote_xyz
+        d["vote_features"] = vote_features
+
+        d = ProposalModule(
+            num_class=cfg.num_class,
+            num_heading_bin=cfg.num_heading_bin,
+            num_size_cluster=cfg.num_size_cluster,
+            mean_size_arr=tuple(map(tuple, SCANNET_MEAN_SIZE_ARR.tolist())),
+            num_proposal=cfg.num_proposals,
+            name="proposal")(vote_xyz, vote_features, d, train, bn_momentum)
+
+        # --------- graph enhancement ---------
+        if cfg.num_graph_steps > 0:
+            d = GraphModule(
+                in_size=128, out_size=128,
+                num_layers=cfg.num_graph_steps,
+                num_proposals=cfg.num_proposals,
+                feat_size=128,
+                num_locals=cfg.num_locals,
+                query_mode=cfg.query_mode,
+                graph_mode=cfg.graph_mode,
+                return_edge=cfg.use_relation,
+                graph_aggr=cfg.graph_aggr,
+                return_orientation=cfg.use_orientation,
+                num_bins=cfg.num_bins,
+                return_distance=cfg.use_distance,
+                name="graph")(d, train)
+
+        # --------- caption branch ---------
+        if not cfg.no_caption:
+            if cfg.use_topdown:
+                d = TopDownSceneCaptionModule(
+                    num_vocabs=self.num_vocabs,
+                    emb_size=cfg.emb_size,
+                    feat_size=128,
+                    hidden_size=cfg.hidden_size,
+                    num_proposals=cfg.num_proposals,
+                    num_locals=cfg.num_locals,
+                    query_mode=cfg.query_mode,
+                    use_relation=cfg.use_relation,
+                    use_oracle=self.use_oracle,
+                    max_des_len=cfg.max_des_len,
+                    name="caption")(d, use_tf, is_eval)
+            else:
+                d = SceneCaptionModule(
+                    num_vocabs=self.num_vocabs,
+                    emb_size=cfg.emb_size,
+                    feat_size=128,
+                    hidden_size=cfg.hidden_size,
+                    num_proposals=cfg.num_proposals,
+                    max_des_len=cfg.max_des_len,
+                    name="caption")(d, use_tf, is_eval)
+
+        return d

@@ -1,0 +1,370 @@
+"""Caption decoders — TPU rebuild of models/caption_module.py.
+
+* ``select_target`` (caption_module.py:16-38): per-sample argmax-IoU proposal
+  vs the GT ref box — vectorized, no Python loop.
+* ``SceneCaptionModule`` (:40-200): vanilla GRU decoder.
+* ``TopDownSceneCaptionModule`` (:202-592): 2-layer attention decoder.
+
+Decode loops become ``lax.scan``:
+  train: one teacher-forced scan of MAX_DES_LEN+1 steps (the reference runs
+    max(lang_len)-1 dynamic steps, caption_module.py:467-480 — here the extra
+    steps are masked in the loss, same objective);
+  eval: the reference loops over 256 proposals × 29 steps in Python with a
+    per-step argmax → GloVe dict lookup on CPU (:529-585); here the proposal
+    axis folds into the batch and the feedback embedding is one gather from a
+    device-resident (vocab, 300) GloVe table — data_dict["glove_emb_table"].
+
+The attention projection of object features (map_feat) is hoisted out of the
+step loop — it does not depend on the hidden state (the reference recomputes
+it every step, caption_module.py:275-283; same math).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scan2cap_tpu.models.layers import GRUCell
+from scan2cap_tpu.models.graph import query_locals_dense, bbox_centers
+from scan2cap_tpu.ops.boxes import box3d_iou_batch, box3d_iou_matrix
+
+
+def select_target(data_dict: dict) -> Tuple[jax.Array, jax.Array]:
+    """Argmax-IoU proposal per sample vs GT ref box (caption_module.py:16-38).
+
+    Returns (target_ids (B,), target_ious (B,))."""
+    pred_bbox = data_dict["bbox_corner"]        # (B, K, 8, 3)
+    gt_bbox = data_dict["ref_box_corner_label"]  # (B, 8, 3)
+    ious = box3d_iou_batch(pred_bbox, gt_bbox[:, None])  # (B, K)
+    target_ids = jnp.argmax(ious, axis=1).astype(jnp.int32)
+    target_ious = jnp.take_along_axis(ious, target_ids[:, None], axis=1)[:, 0]
+    return target_ids, target_ious
+
+
+def query_locals_for_targets(
+    corners: jax.Array,          # (B, K, 8, 3)
+    object_masks: jax.Array,     # (B, K)
+    target_ids: jax.Array,       # (B,)
+    num_locals: int,
+    query_mode: str = "center",
+    overlay_threshold: float = 0.5,
+) -> jax.Array:
+    """_query_locals for one target per sample, include_self=True
+    (caption_module.py:322-363). Returns (B, K) 0/1 local masks."""
+    B, K = object_masks.shape
+    centers = bbox_centers(corners)
+    t_centers = jnp.take_along_axis(centers, target_ids[:, None, None], axis=1)
+    t_corners = jnp.take_along_axis(
+        corners, target_ids[:, None, None, None], axis=1)  # (B,1,8,3)
+
+    if query_mode == "center":
+        dist = jnp.sqrt(jnp.sum((t_centers - centers) ** 2, axis=-1) + 1e-8)
+    elif query_mode == "corner":
+        diff = t_corners[:, 0, :, None, :] - centers[:, None, :, :]
+        dist = jnp.min(jnp.sqrt(jnp.sum(diff ** 2, axis=-1) + 1e-8), axis=1)
+    else:
+        raise ValueError(f"invalid query_mode {query_mode}")
+
+    INF = jnp.asarray(1e30, dist.dtype)
+    dist = jnp.where(object_masks == 0, INF, dist)
+    iou = box3d_iou_batch(jnp.broadcast_to(t_corners, corners.shape), corners)
+    dist = jnp.where(iou >= overlay_threshold, INF, dist)
+    self_mask = jax.nn.one_hot(target_ids, K, dtype=bool)
+    dist = jnp.where(self_mask, 0.0, dist)
+
+    _, topk = jax.lax.top_k(-dist, num_locals)
+    masks = jnp.zeros((B, K), jnp.float32)
+    return masks.at[jnp.arange(B)[:, None], topk].set(1.0)
+
+
+def add_relation_feat(data_dict: dict, obj_feats: jax.Array,
+                      target_ids: jax.Array) -> jax.Array:
+    """Scatter the target's edge features onto its neighbor proposals and add
+    (caption_module.py:394-414).  obj_feats (B, K, C), target_ids (B,)."""
+    B, K, C = obj_feats.shape
+    rel_feats = jnp.take_along_axis(
+        data_dict["edge_feature"], target_ids[:, None, None, None], axis=1
+    )[:, 0]                                                   # (B, L, C)
+    nbr = jnp.take_along_axis(
+        data_dict["edge_nbr_idx"], target_ids[:, None, None], axis=1
+    )[:, 0]                                                   # (B, L)
+    scattered = jnp.zeros_like(obj_feats)
+    scattered = scattered.at[jnp.arange(B)[:, None], nbr].set(rel_feats)
+    return obj_feats + scattered
+
+
+def _gather_targets(x: jax.Array, target_ids: jax.Array) -> jax.Array:
+    """x (B, K, C), ids (B,) -> (B, C)."""
+    return jnp.take_along_axis(x, target_ids[:, None, None], axis=1)[:, 0]
+
+
+class SceneCaptionModule(nn.Module):
+    """Vanilla GRU decoder (caption_module.py:40-200)."""
+
+    num_vocabs: int
+    emb_size: int = 300
+    feat_size: int = 128
+    hidden_size: int = 512
+    num_proposals: int = 256
+    max_des_len: int = 30
+    min_iou: float = 0.25
+    eval_chunk: int = 32
+
+    def setup(self):
+        self.map_feat = nn.Dense(self.emb_size, name="map_feat")
+        self.recurrent_cell = GRUCell(self.emb_size, name="recurrent_cell")
+        self.classifier = nn.Dense(self.num_vocabs, name="classifier")
+
+    def __call__(self, data_dict: dict, use_tf: bool = True,
+                 is_eval: bool = False) -> dict:
+        if not is_eval:
+            return self.forward_sample_batch(data_dict)
+        return self.forward_scene_batch(data_dict)
+
+    def _decode(self, hidden0: jax.Array, word_embs: Optional[jax.Array],
+                emb_table: Optional[jax.Array], num_steps: int,
+                teacher_forcing: bool) -> jax.Array:
+        """Run the GRU for num_steps; returns logits (N, num_steps, vocab)."""
+        sos_input = word_embs[:, 0] if teacher_forcing else word_embs
+
+        def step(carry, t):
+            hidden, prev_input = carry
+            hidden = self.recurrent_cell(prev_input, hidden)
+            logits = self.classifier(hidden)
+            if teacher_forcing:
+                nxt = word_embs[:, t + 1]
+            else:
+                nxt = emb_table[jnp.argmax(logits, axis=-1)]
+            return (hidden, nxt), logits
+
+        if self.is_initializing():
+            # create params with one eager step; scan would trap them in a trace
+            _, logits0 = step((hidden0, sos_input), jnp.asarray(0))
+            return jnp.zeros(
+                (hidden0.shape[0], num_steps) + logits0.shape[1:], logits0.dtype)
+
+        (_, _), logits = jax.lax.scan(
+            step, (hidden0, sos_input), jnp.arange(num_steps))
+        return jnp.transpose(logits, (1, 0, 2))
+
+    def forward_sample_batch(self, data_dict: dict) -> dict:
+        d = dict(data_dict)
+        word_embs = d["lang_feat"]                    # (B, T, emb)
+        obj_feats = self.map_feat(d["bbox_feature"])
+        obj_feats = nn.relu(obj_feats)                # (B, K, emb)
+        target_ids, target_ious = select_target(d)
+        target_feats = _gather_targets(obj_feats, target_ids)
+
+        T = self.max_des_len + 2
+        logits = self._decode(target_feats, word_embs, None, T - 1, True)
+
+        good = target_ious > self.min_iou
+        num_good = jnp.sum(good)
+        mean_iou = jnp.where(
+            num_good > 0, jnp.sum(target_ious * good) / jnp.maximum(num_good, 1), 0.0)
+
+        d["lang_cap"] = logits                        # (B, T-1, vocab)
+        d["pred_ious"] = mean_iou
+        d["good_bbox_masks"] = good
+        return d
+
+    def forward_scene_batch(self, data_dict: dict) -> dict:
+        d = dict(data_dict)
+        word_embs = d["lang_feat"]
+        emb_table = d["glove_emb_table"]              # (vocab, emb)
+        obj_feats = nn.relu(self.map_feat(d["bbox_feature"]))  # (B, K, emb)
+        B, K, E = obj_feats.shape
+        T_dec = self.max_des_len - 1                  # 29 steps (caption_module.py:186)
+
+        sos = word_embs[:, 0]                         # (B, emb)
+
+        def decode_chunk(feats_chunk):                # (B, kc, emb)
+            kc = feats_chunk.shape[1]
+            h0 = feats_chunk.reshape(B * kc, E)
+            sos_rep = jnp.repeat(sos[:, None], kc, axis=1).reshape(B * kc, E)
+            logits = self._decode(h0, sos_rep, emb_table, T_dec, False)
+            return logits.reshape(B, kc, T_dec, -1)
+
+        chunks = []
+        for s in range(0, K, self.eval_chunk):
+            chunks.append(decode_chunk(obj_feats[:, s:s + self.eval_chunk]))
+        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec, vocab)
+        return d
+
+
+class TopDownSceneCaptionModule(nn.Module):
+    """2-layer attention decoder (caption_module.py:202-592)."""
+
+    num_vocabs: int
+    emb_size: int = 300
+    feat_size: int = 128
+    hidden_size: int = 512
+    num_proposals: int = 256
+    num_locals: int = -1
+    query_mode: str = "center"
+    use_relation: bool = False
+    use_oracle: bool = False
+    max_des_len: int = 30
+    min_iou: float = 0.25
+    overlay_threshold: float = 0.5
+    eval_chunk: int = 32
+
+    def setup(self):
+        self.map_topdown = nn.Dense(self.emb_size, name="map_topdown")
+        self.recurrent_cell_1 = GRUCell(self.hidden_size, name="recurrent_cell_1")
+        self.map_feat = nn.Dense(self.hidden_size, use_bias=False, name="map_feat")
+        self.map_hidd = nn.Dense(self.hidden_size, use_bias=False, name="map_hidd")
+        self.attend = nn.Dense(1, use_bias=False, name="attend")
+        self.map_lang = nn.Dense(self.emb_size, name="map_lang")
+        self.recurrent_cell_2 = GRUCell(self.hidden_size, name="recurrent_cell_2")
+        self.classifier = nn.Dense(self.num_vocabs, name="classifier")
+
+    def __call__(self, data_dict: dict, use_tf: bool = True,
+                 is_eval: bool = False) -> dict:
+        if not is_eval:
+            return self.forward_sample_batch(data_dict)
+        return self.forward_scene_batch(data_dict)
+
+    def _decode(
+        self,
+        target_feat: jax.Array,     # (N, feat)
+        obj_feats: jax.Array,       # (N, K, feat)
+        mapped_obj: jax.Array,      # (N, K, hidden) — precomputed map_feat
+        valid_masks: jax.Array,     # (N, K)
+        first_input: jax.Array,     # (N, emb)
+        word_embs: Optional[jax.Array],   # (N, T, emb) if teacher forcing
+        emb_table: Optional[jax.Array],
+        num_steps: int,
+        teacher_forcing: bool,
+    ) -> Tuple[jax.Array, jax.Array]:
+        N = target_feat.shape[0]
+        h1 = jnp.zeros((N, self.hidden_size), target_feat.dtype)
+        h2 = jnp.zeros((N, self.hidden_size), target_feat.dtype)
+        neg_mask = jnp.where(valid_masks[..., None] == 0, -1e30, 0.0)
+
+        def step(carry, t):
+            h1, h2, prev = carry
+            x = jnp.concatenate([prev, h2, target_feat], axis=-1)
+            x = nn.relu(self.map_topdown(x))
+            h1n = self.recurrent_cell_1(x, h1)
+            combined = jnp.tanh(mapped_obj + self.map_hidd(h1n)[:, None, :])
+            scores = self.attend(combined) + neg_mask      # (N, K, 1)
+            attn = jax.nn.softmax(scores, axis=1)
+            attended = jnp.sum(obj_feats * attn, axis=1)   # (N, feat)
+            lang_in = nn.relu(self.map_lang(
+                jnp.concatenate([attended, h1n], axis=-1)))
+            h2n = self.recurrent_cell_2(lang_in, h2)
+            logits = self.classifier(h2n)
+            if teacher_forcing:
+                nxt = word_embs[:, t + 1]
+            else:
+                nxt = emb_table[jnp.argmax(logits, axis=-1)]
+            return (h1n, h2n, nxt), (logits, attn[..., 0])
+
+        if self.is_initializing():
+            _, (logits0, attn0) = step((h1, h2, first_input), jnp.asarray(0))
+            return (
+                jnp.zeros((N, num_steps) + logits0.shape[1:], logits0.dtype),
+                jnp.zeros((N,) + attn0.shape[1:] + (num_steps,), attn0.dtype),
+            )
+
+        (_, _, _), (logits, attns) = jax.lax.scan(
+            step, (h1, h2, first_input), jnp.arange(num_steps))
+        # (T, N, vocab) -> (N, T, vocab); attns (T, N, K) -> (N, K, T)
+        return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attns, (1, 2, 0))
+
+    def forward_sample_batch(self, data_dict: dict) -> dict:
+        d = dict(data_dict)
+        word_embs = d["lang_feat"]                    # (B, T, emb)
+        obj_feats = d["bbox_feature"]                 # (B, K, feat)
+        object_masks = d["bbox_mask"].astype(jnp.float32)
+        B, K, _ = obj_feats.shape
+
+        if self.use_oracle:
+            target_ids = d["bbox_idx"].astype(jnp.int32)
+            target_ious = jnp.ones((B,), jnp.float32)
+        else:
+            target_ids, target_ious = select_target(d)
+
+        target_feats = _gather_targets(obj_feats, target_ids)
+
+        if self.num_locals == -1:
+            valid_masks = object_masks
+        else:
+            valid_masks = query_locals_for_targets(
+                d["bbox_corner"], object_masks, target_ids, self.num_locals,
+                self.query_mode, self.overlay_threshold)
+
+        if self.use_relation:
+            obj_feats = add_relation_feat(d, obj_feats, target_ids)
+
+        mapped_obj = self.map_feat(obj_feats)
+        T = self.max_des_len + 2
+        logits, attns = self._decode(
+            target_feats, obj_feats, mapped_obj, valid_masks,
+            word_embs[:, 0], word_embs, None, T - 1, True)
+
+        good = target_ious > self.min_iou
+        num_good = jnp.sum(good)
+        mean_iou = jnp.where(
+            num_good > 0, jnp.sum(target_ious * good) / jnp.maximum(num_good, 1), 0.0)
+
+        d["lang_cap"] = logits                        # (B, T-1, vocab)
+        d["pred_ious"] = mean_iou
+        d["topdown_attn"] = attns
+        d["valid_masks"] = valid_masks
+        d["good_bbox_masks"] = good
+        return d
+
+    def forward_scene_batch(self, data_dict: dict) -> dict:
+        d = dict(data_dict)
+        word_embs = d["lang_feat"]
+        emb_table = d["glove_emb_table"]
+        obj_feats = d["bbox_feature"]                 # (B, K, feat)
+        object_masks = d["bbox_mask"].astype(jnp.float32)
+        B, K, C = obj_feats.shape
+        T_dec = self.max_des_len - 1                  # 29 (caption_module.py:505)
+        sos = word_embs[:, 0]
+
+        if self.num_locals == -1:
+            all_valid = jnp.broadcast_to(object_masks[:, None, :], (B, K, K))
+        else:
+            all_valid, _ = query_locals_dense(
+                d["bbox_corner"], object_masks, self.num_locals,
+                self.query_mode, include_self=True,
+                overlay_threshold=self.overlay_threshold)
+
+        def decode_chunk(s: int, kc: int):
+            tgt = obj_feats[:, s:s + kc]              # (B, kc, C)
+            valid = all_valid[:, s:s + kc]            # (B, kc, K)
+            if self.use_relation:
+                rel = d["edge_feature"][:, s:s + kc]  # (B, kc, L, C)
+                nbr = d["edge_nbr_idx"][:, s:s + kc]  # (B, kc, L)
+                scattered = jnp.zeros((B, kc, K, C), obj_feats.dtype)
+                b_ix = jnp.arange(B)[:, None, None]
+                p_ix = jnp.arange(kc)[None, :, None]
+                scattered = scattered.at[b_ix, p_ix, nbr].set(rel)
+                feats = obj_feats[:, None, :, :] + scattered   # (B, kc, K, C)
+            else:
+                feats = jnp.broadcast_to(
+                    obj_feats[:, None, :, :], (B, kc, K, C))
+
+            N = B * kc
+            feats_f = feats.reshape(N, K, C)
+            logits, _ = self._decode(
+                tgt.reshape(N, C), feats_f, self.map_feat(feats_f),
+                valid.reshape(N, K),
+                jnp.repeat(sos[:, None], kc, axis=1).reshape(N, -1),
+                None, emb_table, T_dec, False)
+            return logits.reshape(B, kc, T_dec, -1)
+
+        chunks = []
+        for s in range(0, K, self.eval_chunk):
+            kc = min(self.eval_chunk, K - s)
+            chunks.append(decode_chunk(s, kc))
+        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec, vocab)
+        d["valid_masks"] = all_valid
+        return d

@@ -1,0 +1,127 @@
+"""Smoke + shape tests for the model stack on tiny configs (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scan2cap_tpu.config import ModelConfig
+from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+from scan2cap_tpu.models import CapNet, select_target
+
+TINY = ModelConfig(
+    num_points=512,
+    num_proposals=16,
+    sa_npoints=(128, 64, 32, 16),
+    max_num_obj=8,
+    num_locals=4,
+)
+
+
+def _make(cfg, **kw):
+    vocab = make_vocab(num_vocabs=32)
+    batch = make_scene_batch(cfg, batch_size=2, num_objects=3, vocab=vocab)
+    model = CapNet(cfg, num_vocabs=32, **kw)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        use_tf=True, is_eval=False, train=False)
+    return model, variables, batch, vocab
+
+
+def test_capnet_forward_train_shapes():
+    cfg = TINY
+    model, variables, batch, _ = _make(cfg)
+    d = {k: jnp.asarray(v) for k, v in batch.items()}
+    out, mutated = model.apply(
+        d if False else variables, d, use_tf=True, is_eval=False, train=True,
+        mutable=["batch_stats"])
+    B, K = 2, cfg.num_proposals
+    assert out["objectness_scores"].shape == (B, K, 2)
+    assert out["center"].shape == (B, K, 3)
+    assert out["heading_scores"].shape == (B, K, 1)
+    assert out["size_scores"].shape == (B, K, 18)
+    assert out["size_residuals"].shape == (B, K, 18, 3)
+    assert out["sem_cls_scores"].shape == (B, K, 18)
+    assert out["bbox_corner"].shape == (B, K, 8, 3)
+    assert out["bbox_feature"].shape == (B, K, 128)
+    assert out["lang_cap"].shape == (B, cfg.max_des_len + 1, 32)
+    assert out["good_bbox_masks"].shape == (B,)
+    assert "batch_stats" in mutated
+
+
+def test_capnet_forward_eval_shapes():
+    cfg = TINY
+    model, variables, batch, _ = _make(cfg)
+    d = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
+    B, K = 2, cfg.num_proposals
+    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1, 32)
+
+
+def test_capnet_topdown_graph_relation():
+    cfg = TINY.__class__(**{**TINY.__dict__,
+                            "use_topdown": True, "use_relation": True,
+                            "use_orientation": True, "num_graph_steps": 2})
+    model, variables, batch, _ = _make(cfg)
+    d = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = model.apply(variables, d, use_tf=True, is_eval=False, train=False)
+    B, K, L = 2, cfg.num_proposals, cfg.num_locals
+    assert out["edge_feature"].shape == (B, K, L, 128)
+    assert out["edge_orientations"].shape == (B, K, L, cfg.num_bins)
+    assert out["edge_distances"].shape == (B, K, L)
+    assert out["adjacent_mat"].shape == (B, K, K)
+    assert out["lang_cap"].shape == (B, cfg.max_des_len + 1, 32)
+    # adjacency rows have exactly num_locals entries
+    np.testing.assert_allclose(
+        np.asarray(out["adjacent_mat"]).sum(-1), L)
+    # eval path with relation
+    out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
+    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1, 32)
+
+
+def test_select_target_matches_naive():
+    cfg = TINY
+    model, variables, batch, _ = _make(cfg)
+    d = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = model.apply(variables, d, use_tf=True, is_eval=False, train=False)
+    ids, ious = select_target(out)
+    corners = np.asarray(out["bbox_corner"])
+    gt = np.asarray(d["ref_box_corner_label"])
+    for b in range(2):
+        best, best_iou = 0, -1
+        for k in range(cfg.num_proposals):
+            mn1, mx1 = corners[b, k].min(0), corners[b, k].max(0)
+            mn2, mx2 = gt[b].min(0), gt[b].max(0)
+            inter = np.prod(np.maximum(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0))
+            vol1, vol2 = np.prod(mx1 - mn1), np.prod(mx2 - mn2)
+            iou = inter / (vol1 + vol2 - inter + 1e-8)
+            if iou > best_iou:
+                best, best_iou = k, iou
+        assert int(ids[b]) == best
+        assert abs(float(ious[b]) - best_iou) < 1e-5
+
+
+def test_gru_cell_matches_torch():
+    torch = pytest.importorskip("torch")
+    from scan2cap_tpu.models.layers import GRUCell
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 10).astype(np.float32)
+    h = rs.randn(4, 20).astype(np.float32)
+
+    cell = GRUCell(20)
+    variables = cell.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(h))
+
+    tcell = torch.nn.GRUCell(10, 20)
+    # copy weights: torch weight_ih (3H, in), flax kernel (in, 3H)
+    p = variables["params"]
+    with torch.no_grad():
+        tcell.weight_ih.copy_(torch.from_numpy(np.asarray(p["ih"]["kernel"]).T))
+        tcell.bias_ih.copy_(torch.from_numpy(np.asarray(p["ih"]["bias"])))
+        tcell.weight_hh.copy_(torch.from_numpy(np.asarray(p["hh"]["kernel"]).T))
+        tcell.bias_hh.copy_(torch.from_numpy(np.asarray(p["hh"]["bias"])))
+        want = tcell(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+
+    got = np.asarray(cell.apply(variables, jnp.asarray(x), jnp.asarray(h)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
