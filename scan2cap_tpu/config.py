@@ -129,6 +129,7 @@ class ModelConfig:
     use_multiview: bool = False
     use_height: bool = True          # lib/dataset.py "not no_height"
     no_caption: bool = False
+    min_iou: float = 0.25            # CONF.TRAIN.MIN_IOU_THRESHOLD (caption gate)
     # numerics
     compute_dtype: str = "float32"   # bfloat16 for speed on TPU
 

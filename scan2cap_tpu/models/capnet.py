@@ -93,6 +93,7 @@ class CapNet(nn.Module):
                     use_relation=cfg.use_relation,
                     use_oracle=self.use_oracle,
                     max_des_len=cfg.max_des_len,
+                    min_iou=cfg.min_iou,
                     name="caption")(d, use_tf, is_eval)
             else:
                 d = SceneCaptionModule(
@@ -102,6 +103,7 @@ class CapNet(nn.Module):
                     hidden_size=cfg.hidden_size,
                     num_proposals=cfg.num_proposals,
                     max_des_len=cfg.max_des_len,
+                    min_iou=cfg.min_iou,
                     name="caption")(d, use_tf, is_eval)
 
         return d
