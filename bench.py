@@ -1,0 +1,80 @@
+"""Benchmark: ScanRefer-style eval throughput (detect + caption) on one chip.
+
+Measures the full inference path of the flagship CapNet — PointNet++ over
+40k points, voting, 256 proposals, relational graph, and beam-free caption
+decoding for ALL 256 proposals × 29 GRU-attention steps (what
+`lib/eval_helper.py:feed_scene_cap` does per val batch) — as scenes/sec on
+the available accelerator.
+
+Baseline (vs_baseline denominator): the reference's eval path runs the
+256-proposal × 29-step decode as a Python loop with per-step host syncs
+(caption_module.py:529-585) plus CPU box decode; on a V100 this sustains
+~2 scenes/sec (estimate consistent with the repo's own "8x faster" note for
+its successor, README.md:19 — there is no published number, see BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 2.0
+BATCH = 8
+STEPS = 10
+
+
+def main():
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.models import CapNet
+
+    cfg = ModelConfig(
+        num_graph_steps=2, num_locals=10, use_topdown=True,
+        use_relation=True, use_orientation=True,
+        use_normal=True, use_multiview=True,
+        compute_dtype="bfloat16")
+    num_vocabs = 3433
+    vocab = make_vocab(num_vocabs=num_vocabs, emb_size=cfg.emb_size)
+    batch = make_scene_batch(cfg, batch_size=BATCH, num_objects=6, vocab=vocab)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = CapNet(cfg, num_vocabs=num_vocabs)
+    init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
+    variables = init(jax.random.PRNGKey(0), batch, use_tf=True,
+                     is_eval=False, train=False)
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch, use_tf=False, is_eval=True, train=False)
+        return out["lang_cap"], out["bbox_corner"], out["objectness_scores"]
+
+    params, stats = variables["params"], variables["batch_stats"]
+
+    # compile + warmup
+    out = eval_step(params, stats, batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = eval_step(params, stats, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "eval_scenes_per_sec_chip",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

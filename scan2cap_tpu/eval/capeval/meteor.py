@@ -1,0 +1,155 @@
+"""METEOR scorer.
+
+Two backends:
+  * ``MeteorJava`` — drives a meteor-1.5.jar over the same stdin/stdout
+    protocol the reference uses (lib/capeval/meteor/meteor.py:15-45);
+    used automatically when a jar path is supplied/found.
+  * ``Meteor`` (default) — pure-Python METEOR with exact + Porter-stem
+    matching stages and the standard parameters (alpha=0.9, beta=3,
+    gamma=0.5; Banerjee & Lavie / Denkowski & Lavie).  This omits the
+    jar's WordNet-synonym and paraphrase stages (no WordNet data offline),
+    so absolute values run slightly lower than meteor-1.5 — the relative
+    ordering is preserved.  Multiple references: max over references.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from nltk.stem.porter import PorterStemmer
+    _STEMMER = PorterStemmer()
+
+    def _stem(w: str) -> str:
+        return _STEMMER.stem(w)
+except Exception:  # pragma: no cover
+    def _stem(w: str) -> str:
+        return w
+
+ALPHA = 0.9
+BETA = 3.0
+GAMMA = 0.5
+
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Greedy two-stage (exact, stem) alignment: each hyp token matches the
+    earliest unmatched ref token."""
+    matches: List[Tuple[int, int]] = []
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+
+    def stage(key_fn):
+        for i, hw in enumerate(hyp):
+            if used_h[i]:
+                continue
+            hk = key_fn(hw)
+            for j, rw in enumerate(ref):
+                if not used_r[j] and key_fn(rw) == hk:
+                    used_h[i] = used_r[j] = True
+                    matches.append((i, j))
+                    break
+
+    stage(lambda w: w)
+    stage(_stem)
+    matches.sort()
+    return matches
+
+
+def _count_chunks(matches: List[Tuple[int, int]]) -> int:
+    if not matches:
+        return 0
+    chunks = 1
+    for (h0, r0), (h1, r1) in zip(matches, matches[1:]):
+        if h1 != h0 + 1 or r1 != r0 + 1:
+            chunks += 1
+    return chunks
+
+
+def single_meteor_score(ref: str, hyp: str) -> float:
+    hyp_t = hyp.split()
+    ref_t = ref.split()
+    if not hyp_t or not ref_t:
+        return 0.0
+    matches = _align(hyp_t, ref_t)
+    m = len(matches)
+    if m == 0:
+        return 0.0
+    precision = m / len(hyp_t)
+    recall = m / len(ref_t)
+    fmean = (precision * recall) / (ALPHA * precision + (1 - ALPHA) * recall)
+    chunks = _count_chunks(matches)
+    frag = chunks / m
+    penalty = GAMMA * frag ** BETA
+    return (1 - penalty) * fmean
+
+
+class Meteor:
+    """Pure-Python backend with the coco compute_score API."""
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
+        assert set(gts.keys()) == set(res.keys())
+        scores = np.asarray([
+            max(single_meteor_score(ref, res[k][0]) for ref in gts[k])
+            for k in gts
+        ])
+        return float(np.mean(scores)), scores
+
+    def method(self):
+        return "METEOR"
+
+
+def find_meteor_jar() -> Optional[str]:
+    for p in (
+        os.environ.get("METEOR_JAR", ""),
+        os.path.join(os.path.dirname(__file__), "meteor-1.5.jar"),
+    ):
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+class MeteorJava:
+    """meteor-1.5.jar stdio driver (protocol of the original coco wrapper)."""
+
+    def __init__(self, jar: Optional[str] = None):
+        self.jar = jar or find_meteor_jar()
+        if self.jar is None:
+            raise FileNotFoundError("meteor-1.5.jar not found")
+        self.lock = threading.Lock()
+        self.proc = subprocess.Popen(
+            ["java", "-jar", "-Xmx2G", self.jar, "-", "-", "-stdio",
+             "-l", "en", "-norm"],
+            cwd=os.path.dirname(os.path.abspath(self.jar)),
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            universal_newlines=True, bufsize=1)
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
+        assert set(gts.keys()) == set(res.keys())
+        keys = list(gts.keys())
+        scores = []
+        with self.lock:
+            eval_line = "EVAL"
+            for k in keys:
+                stat_line = "SCORE ||| {} ||| {}".format(
+                    " ||| ".join(s.replace("|||", "").replace("  ", " ")
+                                 for s in gts[k]),
+                    res[k][0].replace("|||", "").replace("  ", " "))
+                self.proc.stdin.write(stat_line + "\n")
+                eval_line += " ||| " + self.proc.stdout.readline().strip()
+            self.proc.stdin.write(eval_line + "\n")
+            for _ in keys:
+                scores.append(float(self.proc.stdout.readline().strip()))
+            final = float(self.proc.stdout.readline().strip())
+        return final, np.asarray(scores)
+
+    def close(self):
+        if self.proc:
+            self.proc.kill()
+
+    def method(self):
+        return "METEOR"

@@ -1,0 +1,16 @@
+"""Mesh + sharding layer.
+
+The reference is single-GPU with no distributed runtime (SURVEY.md §2.4);
+this layer is green-field: a device mesh with a "data" axis (scenes) and a
+reserved "model" axis (proposal/point sharding headroom), batch-sharded pjit
+train/eval steps, gradient all-reduce via XLA collectives over ICI.
+"""
+
+from scan2cap_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]

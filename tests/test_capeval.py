@@ -1,0 +1,127 @@
+"""Caption-metric tests.
+
+Parity: my BLEU/CIDEr/ROUGE implementations are compared against the
+reference's pure-Python coco-caption ports (imported from /root/reference as
+a test oracle when present) on randomized corpora.  Plus hand-checked values.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from scan2cap_tpu.eval.capeval import Bleu, Cider, Rouge, Meteor
+
+REF = "/root/reference/lib/capeval"
+HAS_REF = os.path.isdir(REF)
+
+
+def random_corpus(rng, n_keys=20, vocab=30, n_refs=3):
+    words = [f"w{i}" for i in range(vocab)]
+    gts, res = {}, {}
+    for i in range(n_keys):
+        key = f"scene{i}|{i}|obj"
+        gts[key] = [
+            "sos " + " ".join(rng.choice(words, rng.randint(3, 15))) + " eos"
+            for _ in range(rng.randint(1, n_refs + 1))]
+        res[key] = [
+            "sos " + " ".join(rng.choice(words, rng.randint(2, 14))) + " eos"]
+    return gts, res
+
+
+@pytest.fixture
+def corpus(rng):
+    return random_corpus(rng)
+
+
+def _load_ref_module(name, path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference capeval not present")
+def test_bleu_matches_reference(corpus):
+    gts, res = corpus
+    scorer_mod = _load_ref_module(
+        "ref_bleu_scorer", os.path.join(REF, "bleu/bleu_scorer.py"))
+    scorer = scorer_mod.BleuScorer(n=4)
+    for key in gts:  # as lib/capeval/bleu/bleu.py:21-40 does
+        scorer += (res[key][0], gts[key])
+    want, want_per = scorer.compute_score(option="closest", verbose=0)
+    got, got_per = Bleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    for k in range(4):
+        np.testing.assert_allclose(got_per[k], want_per[k], rtol=1e-10)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference capeval not present")
+def test_cider_matches_reference(corpus):
+    gts, res = corpus
+    scorer_mod = _load_ref_module(
+        "ref_cider_scorer", os.path.join(REF, "cider/cider_scorer.py"))
+    scorer = scorer_mod.CiderScorer(n=4, sigma=6.0)
+    for key in gts:  # as lib/capeval/cider/cider.py:24-41 does
+        scorer += (res[key][0], gts[key])
+    want, want_per = scorer.compute_score()
+    got, got_per = Cider().compute_score(gts, res)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    np.testing.assert_allclose(got_per, want_per, rtol=1e-10)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference capeval not present")
+def test_rouge_matches_reference(corpus):
+    gts, res = corpus
+    ref_rouge = _load_ref_module("ref_rouge", os.path.join(REF, "rouge/rouge.py"))
+    want, want_per = ref_rouge.Rouge().compute_score(gts, res)
+    got, got_per = Rouge().compute_score(gts, res)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    np.testing.assert_allclose(got_per, want_per, rtol=1e-10)
+
+
+def test_bleu_perfect_match():
+    gts = {"a": ["sos the red chair eos"]}
+    res = {"a": ["sos the red chair eos"]}
+    scores, _ = Bleu(4).compute_score(gts, res)
+    for s in scores:
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_cider_identical_corpus_positive(rng):
+    gts, _ = random_corpus(rng, n_keys=10)
+    res = {k: [v[0]] for k, v in gts.items()}
+    score, per = Cider().compute_score(gts, res)
+    assert score > 1.0  # identical captions score high (max 10)
+    assert (per >= 0).all()
+
+
+def test_rouge_known_value():
+    # candidate = reference -> P=R=1 -> F=1
+    gts = {"a": ["x y z"]}
+    res = {"a": ["x y z"]}
+    score, _ = Rouge().compute_score(gts, res)
+    assert abs(score - 1.0) < 1e-9
+
+
+def test_meteor_sanity():
+    gts = {"a": ["sos the red chair eos"], "b": ["sos a big table eos"]}
+    res = {"a": ["sos the red chair eos"], "b": ["sos small dog eos"]}
+    m = Meteor()
+    score, per = m.compute_score(gts, res)
+    assert per[0] > 0.9      # perfect match, small chunk penalty only
+    assert per[1] < per[0]
+    assert 0 <= score <= 1
+
+
+def test_meteor_stemming_matches():
+    from scan2cap_tpu.eval.capeval.meteor import single_meteor_score
+    s_exact = single_meteor_score("the chairs are red", "the chairs are red")
+    # stem stage recovers chair->chairs, so the alignment is identical
+    s_stem = single_meteor_score("the chairs are red", "the chair are red")
+    s_partial = single_meteor_score("the chairs are red", "the sofa is red")
+    s_none = single_meteor_score("the chairs are red", "blue table")
+    assert s_exact == s_stem > s_partial > s_none == 0.0

@@ -1,0 +1,67 @@
+"""Train-step tests: loss decreases on a fixed batch (the reference's
+--debug overfit-one-sample pattern, scripts/train.py:216-219) and the full
+step runs sharded over an 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scan2cap_tpu.config import Config, ModelConfig
+from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+from scan2cap_tpu.models import CapNet
+from scan2cap_tpu.parallel import make_mesh, shard_batch
+from scan2cap_tpu.train import create_train_state, make_train_step, make_eval_step
+
+TINY = ModelConfig(
+    num_points=256, num_proposals=16, sa_npoints=(64, 32, 16, 16),
+    max_num_obj=8, num_locals=4, min_iou=-1.0)
+
+
+def _setup(mcfg, batch_size=2, vocab_size=32):
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=vocab_size)
+    batch = make_scene_batch(mcfg, batch_size=batch_size, num_objects=3,
+                             vocab=vocab)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = CapNet(mcfg, num_vocabs=vocab_size)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    return cfg, model, state, batch
+
+
+def test_overfit_loss_decreases():
+    cfg, model, state, batch = _setup(TINY)
+    step = make_train_step(cfg, model, donate=False)
+    lr = jnp.asarray(1e-3)
+    mom = jnp.asarray(0.1)
+    losses = []
+    for _ in range(25):
+        state, m = step(state, batch, lr, mom)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    first, tail = losses[0], np.mean(losses[-5:])
+    # chamfer-assignment flips make single steps noisy; compare the tail mean
+    assert tail < 0.8 * first, (first, tail, losses)
+    assert int(state.step) == 25
+
+
+def test_train_step_multichip_mesh():
+    assert jax.device_count() >= 8, "conftest must set 8 virtual devices"
+    cfg, model, state, batch = _setup(TINY, batch_size=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sbatch = shard_batch(batch, mesh)
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    step = make_train_step(cfg, model, donate=False)
+    state, metrics = step(state, sbatch, jnp.asarray(1e-3), jnp.asarray(0.1))
+    assert np.isfinite(float(metrics["loss"]))
+    # batch stays sharded over the data axis
+    assert sbatch["point_clouds"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_eval_step_runs():
+    cfg, model, state, batch = _setup(TINY)
+    estep = make_eval_step(cfg, model)
+    out = estep(state, batch)
+    assert out["lang_cap"].shape[:2] == (2, TINY.num_proposals)
+    assert "object_assignment" in out
