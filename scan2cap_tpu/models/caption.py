@@ -136,19 +136,25 @@ class SceneCaptionModule(nn.Module):
             logits = self.classifier(hidden)
             if teacher_forcing:
                 nxt = word_embs[:, t + 1]
+                out = logits
             else:
-                nxt = emb_table[jnp.argmax(logits, axis=-1)]
-            return (hidden, nxt), logits
+                tokens = jnp.argmax(logits, axis=-1)
+                nxt = emb_table[tokens]
+                # eval consumers only ever argmax the logits
+                # (lib/eval_helper.py:56-67) — emit token ids, not the
+                # (N, vocab) logit tensor
+                out = tokens
+            return (hidden, nxt), out
 
         if self.is_initializing():
             # create params with one eager step; scan would trap them in a trace
-            _, logits0 = step((hidden0, sos_input), jnp.asarray(0))
+            _, out0 = step((hidden0, sos_input), jnp.asarray(0))
             return jnp.zeros(
-                (hidden0.shape[0], num_steps) + logits0.shape[1:], logits0.dtype)
+                (hidden0.shape[0], num_steps) + out0.shape[1:], out0.dtype)
 
-        (_, _), logits = jax.lax.scan(
+        (_, _), outs = jax.lax.scan(
             step, (hidden0, sos_input), jnp.arange(num_steps))
-        return jnp.transpose(logits, (1, 0, 2))
+        return jnp.moveaxis(outs, 0, 1)
 
     def forward_sample_batch(self, data_dict: dict) -> dict:
         d = dict(data_dict)
@@ -185,13 +191,13 @@ class SceneCaptionModule(nn.Module):
             kc = feats_chunk.shape[1]
             h0 = feats_chunk.reshape(B * kc, E)
             sos_rep = jnp.repeat(sos[:, None], kc, axis=1).reshape(B * kc, E)
-            logits = self._decode(h0, sos_rep, emb_table, T_dec, False)
-            return logits.reshape(B, kc, T_dec, -1)
+            tokens = self._decode(h0, sos_rep, emb_table, T_dec, False)
+            return tokens.reshape(B, kc, T_dec)
 
         chunks = []
         for s in range(0, K, self.eval_chunk):
             chunks.append(decode_chunk(obj_feats[:, s:s + self.eval_chunk]))
-        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec, vocab)
+        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec) tokens
         return d
 
 
@@ -260,21 +266,25 @@ class TopDownSceneCaptionModule(nn.Module):
             logits = self.classifier(h2n)
             if teacher_forcing:
                 nxt = word_embs[:, t + 1]
+                out = logits
             else:
-                nxt = emb_table[jnp.argmax(logits, axis=-1)]
-            return (h1n, h2n, nxt), (logits, attn[..., 0])
+                tokens = jnp.argmax(logits, axis=-1)
+                nxt = emb_table[tokens]
+                # eval consumers only argmax (lib/eval_helper.py:56-67)
+                out = tokens
+            return (h1n, h2n, nxt), (out, attn[..., 0])
 
         if self.is_initializing():
-            _, (logits0, attn0) = step((h1, h2, first_input), jnp.asarray(0))
+            _, (out0, attn0) = step((h1, h2, first_input), jnp.asarray(0))
             return (
-                jnp.zeros((N, num_steps) + logits0.shape[1:], logits0.dtype),
+                jnp.zeros((N, num_steps) + out0.shape[1:], out0.dtype),
                 jnp.zeros((N,) + attn0.shape[1:] + (num_steps,), attn0.dtype),
             )
 
-        (_, _, _), (logits, attns) = jax.lax.scan(
+        (_, _, _), (outs, attns) = jax.lax.scan(
             step, (h1, h2, first_input), jnp.arange(num_steps))
-        # (T, N, vocab) -> (N, T, vocab); attns (T, N, K) -> (N, K, T)
-        return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attns, (1, 2, 0))
+        # (T, N, ...) -> (N, T, ...); attns (T, N, K) -> (N, K, T)
+        return jnp.moveaxis(outs, 0, 1), jnp.transpose(attns, (1, 2, 0))
 
     def forward_sample_batch(self, data_dict: dict) -> dict:
         d = dict(data_dict)
@@ -354,17 +364,17 @@ class TopDownSceneCaptionModule(nn.Module):
 
             N = B * kc
             feats_f = feats.reshape(N, K, C)
-            logits, _ = self._decode(
+            tokens, _ = self._decode(
                 tgt.reshape(N, C), feats_f, self.map_feat(feats_f),
                 valid.reshape(N, K),
                 jnp.repeat(sos[:, None], kc, axis=1).reshape(N, -1),
                 None, emb_table, T_dec, False)
-            return logits.reshape(B, kc, T_dec, -1)
+            return tokens.reshape(B, kc, T_dec)
 
         chunks = []
         for s in range(0, K, self.eval_chunk):
             kc = min(self.eval_chunk, K - s)
             chunks.append(decode_chunk(s, kc))
-        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec, vocab)
+        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec) tokens
         d["valid_masks"] = all_valid
         return d

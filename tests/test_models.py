@@ -56,7 +56,7 @@ def test_capnet_forward_eval_shapes():
     d = {k: jnp.asarray(v) for k, v in batch.items()}
     out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
     B, K = 2, cfg.num_proposals
-    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1, 32)
+    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1)  # token ids
 
 
 def test_capnet_topdown_graph_relation():
@@ -77,7 +77,7 @@ def test_capnet_topdown_graph_relation():
         np.asarray(out["adjacent_mat"]).sum(-1), L)
     # eval path with relation
     out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
-    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1, 32)
+    assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1)  # token ids
 
 
 def test_select_target_matches_naive():
