@@ -41,8 +41,14 @@ def main():
         compute_dtype="bfloat16")
     num_vocabs = 3433
     vocab = make_vocab(num_vocabs=num_vocabs, emb_size=cfg.emb_size)
-    batch = make_scene_batch(cfg, batch_size=BATCH, num_objects=6, vocab=vocab)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    # one distinct batch per timed step — the tunneled TPU backend can cache
+    # repeated identical executions, which would fake the timing
+    batches = [
+        {k: jnp.asarray(v) for k, v in make_scene_batch(
+            cfg, batch_size=BATCH, num_objects=6, vocab=vocab, seed=s).items()}
+        for s in range(STEPS + 1)
+    ]
+    batch = batches[0]
 
     model = CapNet(cfg, num_vocabs=num_vocabs)
     init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
@@ -64,9 +70,9 @@ def main():
     # block every call: the tunneled backend memoizes identical unblocked
     # dispatches, which would make an unsynchronized loop meaningless
     times = []
-    for _ in range(STEPS):
+    for s in range(STEPS):
         t0 = time.perf_counter()
-        out = eval_step(params, stats, batch)
+        out = eval_step(params, stats, batches[s + 1])
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = sum(sorted(times)[: max(1, STEPS // 2)]) / max(1, STEPS // 2)

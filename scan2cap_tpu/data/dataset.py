@@ -1,0 +1,436 @@
+"""ScanRefer scene dataset → fixed-shape numpy batches.
+
+Host-side rebuild of lib/dataset.py (ScannetReferenceDataset).  Per-sample
+pipeline order preserved exactly (lib/dataset.py:333-540):
+  feature assembly (color normalized (rgb-MEAN)/256, normals, 128-d multiview
+  from HDF5, height = z - 0.99-percentile floor) → random_sampling to
+  num_points → augmentation (YZ/XZ flips p=0.5, ±5° rotations about x/y/z,
+  ±0.5 m translation) → vote labels computed AFTER augmentation (per-instance
+  AABB center offsets, tiled ×3) → padded box labels to MAX_NUM_OBJ →
+  GT corner boxes → Scan2CAD rotation labels.
+
+Differences from the reference (deliberate):
+  * explicit np.random.RandomState threading (reproducible runs; the
+    reference uses global np.random);
+  * a thread-pool prefetching Loader replaces torch DataLoader workers;
+  * every output is float32/int32 ready for device transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from scan2cap_tpu.config import (
+    DC, MEAN_COLOR_RGB, SCANNET_NYU40IDS, SCANNET_TYPE2CLASS,
+    SCANNET_MEAN_SIZE_ARR,
+)
+from scan2cap_tpu.data.vocab import (
+    build_embedding_table, build_vocabulary, encode_caption, load_glove,
+)
+from scan2cap_tpu.utils.pc_utils import random_sampling, rotx, roty, rotz
+
+
+def _get_3d_box_batch_np(sizes, headings, centers):
+    sx = np.array([1, 1, -1, -1, 1, 1, -1, -1])
+    sy = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    sz = np.array([1, 1, 1, 1, -1, -1, -1, -1])
+    l, w, h = sizes[..., 0:1], sizes[..., 1:2], sizes[..., 2:3]
+    corners = np.stack([l / 2 * sx, w / 2 * sy, h / 2 * sz], axis=-1)
+    c, s = np.cos(headings), np.sin(headings)
+    z = np.zeros_like(c)
+    o = np.ones_like(c)
+    R = np.stack([np.stack([c, z, s], -1), np.stack([z, o, z], -1),
+                  np.stack([-s, z, c], -1)], -2)
+    corners = np.einsum("...ij,...kj->...ki", R, corners)
+    return corners + centers[..., None, :]
+
+
+def rotate_aligned_boxes_along_axis(boxes: np.ndarray, rot_mat: np.ndarray,
+                                    axis: str) -> np.ndarray:
+    """Axis-aligned box re-fit under rotation
+    (model_util_scannet.py:47-79, including its corner-slot quirk)."""
+    centers, lengths = boxes[:, 0:3], boxes[:, 3:6]
+    new_centers = centers @ rot_mat.T
+    if axis == "x":
+        d1, d2 = lengths[:, 1] / 2.0, lengths[:, 2] / 2.0
+    elif axis == "y":
+        d1, d2 = lengths[:, 0] / 2.0, lengths[:, 2] / 2.0
+    else:
+        d1, d2 = lengths[:, 0] / 2.0, lengths[:, 1] / 2.0
+    new_1 = np.zeros((len(d1), 4))
+    new_2 = np.zeros((len(d1), 4))
+    for i, (sx, sy) in enumerate([(-1, -1), (1, -1), (1, 1), (-1, 1)]):
+        crnrs = np.zeros((len(d1), 3))
+        crnrs[:, 0] = sx * d1
+        crnrs[:, 1] = sy * d2
+        crnrs = crnrs @ rot_mat.T
+        new_1[:, i] = crnrs[:, 0]
+        new_2[:, i] = crnrs[:, 1]
+    nd1 = 2.0 * new_1.max(1)
+    nd2 = 2.0 * new_2.max(1)
+    if axis == "x":
+        new_lengths = np.stack((lengths[:, 0], nd1, nd2), axis=1)
+    elif axis == "y":
+        new_lengths = np.stack((nd1, lengths[:, 1], nd2), axis=1)
+    else:
+        new_lengths = np.stack((nd1, nd2, lengths[:, 2]), axis=1)
+    return np.concatenate([new_centers, new_lengths], axis=1)
+
+
+class ScannetReferenceDataset:
+    """One (scene, object, annotation) sample per ScanRefer entry."""
+
+    def __init__(
+        self,
+        scanrefer: Sequence[dict],
+        scanrefer_all_scene: Sequence[str],
+        scannet_data_dir: str,
+        glove_path: str,
+        split: str = "train",
+        name: str = "ScanRefer",
+        num_points: int = 40000,
+        max_num_obj: int = 128,
+        max_des_len: int = 30,
+        use_height: bool = False,
+        use_color: bool = False,
+        use_normal: bool = False,
+        use_multiview: bool = False,
+        multiview_path: Optional[str] = None,
+        augment: bool = False,
+        scan2cad_rotation: Optional[dict] = None,
+        vocab: Optional[dict] = None,
+        glove: Optional[dict] = None,
+    ):
+        self.scanrefer = list(scanrefer)
+        self.scanrefer_all_scene = list(scanrefer_all_scene)
+        self.split = split
+        self.name = name
+        self.num_points = num_points
+        self.max_num_obj = max_num_obj
+        self.max_des_len = max_des_len
+        self.use_height = use_height
+        self.use_color = use_color
+        self.use_normal = use_normal
+        self.use_multiview = use_multiview
+        self.multiview_path = multiview_path
+        self.augment = augment
+        self.scan2cad_rotation = scan2cad_rotation
+        self.scannet_data_dir = scannet_data_dir
+
+        self.glove = glove if glove is not None else load_glove(glove_path)
+        self.vocabulary = vocab if vocab is not None else build_vocabulary(
+            self.scanrefer, self.glove, max_des_len)
+        self.num_vocabs = len(self.vocabulary["word2idx"])
+        self.emb_table = build_embedding_table(self.vocabulary, self.glove)
+        self.weights = np.ones((self.num_vocabs,), np.float64)
+
+        self._load_scenes()
+        self._multiview_db = None
+
+    # ------------------------------------------------------------------
+    def _load_scenes(self):
+        self.scene_list = sorted({d["scene_id"] for d in self.scanrefer})
+        self.scene_data = {}
+        for sid in self.scene_list:
+            base = os.path.join(self.scannet_data_dir, sid)
+            self.scene_data[sid] = {
+                "mesh_vertices": np.load(base + "_aligned_vert.npy"),
+                "instance_labels": np.load(base + "_ins_label.npy"),
+                "semantic_labels": np.load(base + "_sem_label.npy"),
+                "instance_bboxes": np.load(base + "_aligned_bbox.npy"),
+            }
+
+    def _multiview(self, scene_id: str) -> np.ndarray:
+        import h5py
+        if self._multiview_db is None:
+            self._multiview_db = h5py.File(self.multiview_path, "r",
+                                           libver="latest", swmr=True)
+        return self._multiview_db[scene_id]
+
+    def __len__(self):
+        return len(self.scanrefer)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int,
+                    rs: Optional[np.random.RandomState] = None) -> Dict:
+        rng = rs if rs is not None else np.random.RandomState()
+        start = time.time()
+        entry = self.scanrefer[idx]
+        scene_id = entry["scene_id"]
+        object_id = int(entry["object_id"])
+        object_name = " ".join(entry["object_name"].split("_"))
+        ann_id = int(entry["ann_id"])
+
+        lang_feat, lang_ids, lang_len = encode_caption(
+            entry["token"], self.vocabulary, self.glove, self.max_des_len)
+
+        scene = self.scene_data[scene_id]
+        mesh_vertices = scene["mesh_vertices"]
+        instance_labels = scene["instance_labels"]
+        semantic_labels = scene["semantic_labels"]
+        instance_bboxes = scene["instance_bboxes"]
+
+        # ---- feature assembly (lib/dataset.py:338-363) ----
+        if not self.use_color:
+            point_cloud = mesh_vertices[:, 0:3].copy()
+        else:
+            point_cloud = mesh_vertices[:, 0:6].copy()
+            point_cloud[:, 3:6] = (point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
+        if self.use_normal:
+            point_cloud = np.concatenate(
+                [point_cloud, mesh_vertices[:, 6:9]], 1)
+        if self.use_multiview:
+            mv = np.asarray(self._multiview(scene_id))
+            point_cloud = np.concatenate([point_cloud, mv], 1)
+        if self.use_height:
+            floor = np.percentile(point_cloud[:, 2], 0.99)
+            point_cloud = np.concatenate(
+                [point_cloud, (point_cloud[:, 2] - floor)[:, None]], 1)
+
+        point_cloud, choices = random_sampling(
+            point_cloud, self.num_points, return_choices=True, rs=rng)
+        instance_labels = instance_labels[choices]
+        semantic_labels = semantic_labels[choices]
+
+        # ---- labels (lib/dataset.py:369-390) ----
+        M = self.max_num_obj
+        target_bboxes = np.zeros((M, 6))
+        target_bboxes_mask = np.zeros((M,))
+        angle_classes = np.zeros((M,))
+        angle_residuals = np.zeros((M,))
+        size_classes = np.zeros((M,))
+        size_residuals = np.zeros((M, 3))
+        ref_box_label = np.zeros(M)
+        ref_center_label = np.zeros(3)
+        ref_heading_class_label = 0
+        ref_heading_residual_label = 0
+        ref_size_class_label = 0
+        ref_size_residual_label = np.zeros(3)
+        ref_box_corner_label = np.zeros((8, 3))
+
+        num_bbox = min(instance_bboxes.shape[0], M)
+        target_bboxes_mask[:num_bbox] = 1
+        target_bboxes[:num_bbox] = instance_bboxes[:M, 0:6]
+
+        # ---- augmentation (lib/dataset.py:395-425) ----
+        if self.augment:
+            if rng.random_sample() > 0.5:
+                point_cloud[:, 0] = -point_cloud[:, 0]
+                target_bboxes[:, 0] = -target_bboxes[:, 0]
+            if rng.random_sample() > 0.5:
+                point_cloud[:, 1] = -point_cloud[:, 1]
+                target_bboxes[:, 1] = -target_bboxes[:, 1]
+            for rot_fn, axis in ((rotx, "x"), (roty, "y"), (rotz, "z")):
+                angle = rng.random_sample() * np.pi / 18 - np.pi / 36  # ±5°
+                rot = rot_fn(angle)
+                point_cloud[:, 0:3] = point_cloud[:, 0:3] @ rot.T
+                target_bboxes = rotate_aligned_boxes_along_axis(
+                    target_bboxes, rot, axis)
+            # translation ±0.5 m (lib/dataset.py:_translate)
+            factor = rng.choice(np.arange(-0.5, 0.501, 0.001), size=3)
+            point_cloud[:, 0:3] += factor
+            target_bboxes[:, 0:3] += factor
+
+        # ---- votes AFTER augmentation (lib/dataset.py:427-442) ----
+        point_votes = np.zeros([self.num_points, 3])
+        point_votes_mask = np.zeros(self.num_points)
+        for i_instance in np.unique(instance_labels):
+            ind = np.where(instance_labels == i_instance)[0]
+            if semantic_labels[ind[0]] in SCANNET_NYU40IDS:
+                x = point_cloud[ind, :3]
+                center = 0.5 * (x.min(0) + x.max(0))
+                point_votes[ind] = center - x
+                point_votes_mask[ind] = 1.0
+        point_votes = np.tile(point_votes, (1, 3))
+
+        class_ind = [DC_NYU2CLS[int(x)] for x in instance_bboxes[:num_bbox, -2]]
+        size_classes[:num_bbox] = class_ind
+        size_residuals[:num_bbox] = (target_bboxes[:num_bbox, 3:6]
+                                     - SCANNET_MEAN_SIZE_ARR[class_ind])
+
+        # ---- reference target + GT corners (lib/dataset.py:451-480) ----
+        gt_box_corner_label = np.zeros((M, 8, 3))
+        gt_box_masks = np.zeros((M,))
+        gt_box_object_ids = np.zeros((M,))
+        for i, gt_id in enumerate(instance_bboxes[:num_bbox, -1]):
+            if gt_id == object_id:
+                ref_box_label[i] = 1
+                ref_center_label = target_bboxes[i, 0:3]
+                ref_heading_class_label = angle_classes[i]
+                ref_heading_residual_label = angle_residuals[i]
+                ref_size_class_label = size_classes[i]
+                ref_size_residual_label = size_residuals[i]
+                obb = DC.param2obb_batch(
+                    ref_center_label[None], np.array([int(ref_heading_class_label)]),
+                    np.array([ref_heading_residual_label]),
+                    np.array([int(ref_size_class_label)]),
+                    ref_size_residual_label[None])[0]
+                ref_box_corner_label = _get_3d_box_batch_np(
+                    obb[3:6][None], obb[6][None], obb[0:3][None])[0]
+        all_obb = DC.param2obb_batch(
+            target_bboxes[:num_bbox, 0:3], angle_classes[:num_bbox].astype(np.int64),
+            angle_residuals[:num_bbox], size_classes[:num_bbox].astype(np.int64),
+            size_residuals[:num_bbox])
+        gt_box_corner_label[:num_bbox] = _get_3d_box_batch_np(
+            all_obb[:, 3:6], all_obb[:, 6], all_obb[:, 0:3])
+        gt_box_masks[:num_bbox] = 1
+        gt_box_object_ids[:num_bbox] = instance_bboxes[:num_bbox, -1]
+
+        target_bboxes_semcls = np.zeros((M,))
+        target_object_ids = np.zeros((M,))
+        target_bboxes_semcls[:num_bbox] = class_ind
+        target_object_ids[:num_bbox] = instance_bboxes[:num_bbox, -1]
+
+        # ---- scan2cad rotations (lib/dataset.py:489-501) ----
+        rotations = np.zeros((M, 3, 3))
+        rotation_masks = np.zeros((M,))
+        if self.scan2cad_rotation and scene_id in self.scan2cad_rotation:
+            for i, instance_id in enumerate(
+                    instance_bboxes[:num_bbox, -1].astype(int)):
+                try:
+                    rotations[i] = np.array(
+                        self.scan2cad_rotation[scene_id][str(instance_id)])
+                    rotation_masks[i] = 1
+                except KeyError:
+                    pass
+
+        return {
+            "point_clouds": point_cloud.astype(np.float32),
+            "lang_feat": lang_feat.astype(np.float32),
+            "lang_len": np.int32(min(lang_len, self.max_des_len + 2)),
+            "lang_ids": lang_ids.astype(np.int32),
+            "center_label": target_bboxes[:, 0:3].astype(np.float32),
+            "heading_class_label": angle_classes.astype(np.int32),
+            "heading_residual_label": angle_residuals.astype(np.float32),
+            "size_class_label": size_classes.astype(np.int32),
+            "size_residual_label": size_residuals.astype(np.float32),
+            "num_bbox": np.int32(num_bbox),
+            "sem_cls_label": target_bboxes_semcls.astype(np.int32),
+            "scene_object_ids": target_object_ids.astype(np.int32),
+            "scene_object_rotations": rotations.astype(np.float32),
+            "scene_object_rotation_masks": rotation_masks.astype(np.int32),
+            "box_label_mask": target_bboxes_mask.astype(np.float32),
+            "vote_label": point_votes.astype(np.float32),
+            "vote_label_mask": point_votes_mask.astype(np.int32),
+            "dataset_idx": np.int32(idx),
+            "ref_box_label": ref_box_label.astype(np.int32),
+            "ref_center_label": ref_center_label.astype(np.float32),
+            "ref_heading_class_label": np.int32(ref_heading_class_label),
+            "ref_heading_residual_label": np.int32(ref_heading_residual_label),
+            "ref_size_class_label": np.int32(ref_size_class_label),
+            "ref_size_residual_label": ref_size_residual_label.astype(np.float32),
+            "ref_box_corner_label": ref_box_corner_label.astype(np.float32),
+            "gt_box_corner_label": gt_box_corner_label.astype(np.float32),
+            "gt_box_masks": gt_box_masks.astype(np.int32),
+            "gt_box_object_ids": gt_box_object_ids.astype(np.int32),
+            "object_id": np.int32(object_id),
+            "ann_id": np.int32(ann_id),
+            "object_cat": np.int32(
+                SCANNET_TYPE2CLASS.get(object_name, 17)),
+            "load_time": np.float32(time.time() - start),
+        }
+
+
+# nyu40 id -> 18-class mapping used for size/sem classes: built from the ids
+# themselves — each nyu40 id kept for detection maps to the 18-class id of
+# its canonical name; "others" (17) for everything unnamed
+# (model_util_scannet.py:101-116 builds this from the label tsv; the 18
+# canonical rows below are the nyu40 ids of the named classes).
+_NYU2CLS_NAMED = {
+    3: 0,   # cabinet
+    4: 1,   # bed
+    5: 2,   # chair
+    6: 3,   # sofa
+    7: 4,   # table
+    8: 5,   # door
+    9: 6,   # window
+    10: 7,  # bookshelf
+    11: 8,  # picture
+    12: 9,  # counter
+    14: 10, # desk
+    16: 11, # curtain
+    24: 12, # refrigerator
+    28: 13, # shower curtain
+    33: 14, # toilet
+    34: 15, # sink
+    36: 16, # bathtub
+}
+DC_NYU2CLS = {int(i): _NYU2CLS_NAMED.get(int(i), 17) for i in SCANNET_NYU40IDS}
+
+
+class Loader:
+    """Thread-pool prefetching batch loader (replaces torch DataLoader)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 42, num_workers: int = 4, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        rs = np.random.RandomState(self.seed + self.epoch)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rs.shuffle(order)
+        n_batches = len(self)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            futures = []
+            for b in range(n_batches):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                futures.append([pool.submit(
+                    self.dataset.__getitem__, int(i),
+                    np.random.RandomState(
+                        (self.seed + self.epoch) * 100003 + int(i)))
+                    for i in idxs])
+            for fs in futures:
+                samples = [f.result() for f in fs]
+                yield {k: np.stack([s[k] for s in samples])
+                       for k in samples[0]}
+        finally:
+            pool.shutdown(wait=False)
+        self.epoch += 1
+
+
+def get_scanrefer(scanrefer_train_path: str, scanrefer_val_path: str,
+                  num_scenes: int = -1):
+    """Split organization (scripts/train.py:204-273): full train list; eval
+    lists contain ONE dummy sample per scene (captions are generated for all
+    proposals at eval, so one forward per scene suffices)."""
+    with open(scanrefer_train_path) as f:
+        scanrefer_train = json.load(f)
+    with open(scanrefer_val_path) as f:
+        scanrefer_val = json.load(f)
+
+    train_scene_list = sorted({d["scene_id"] for d in scanrefer_train})
+    val_scene_list = sorted({d["scene_id"] for d in scanrefer_val})
+    if num_scenes > 0:
+        train_scene_list = train_scene_list[:num_scenes]
+    scanrefer_train = [d for d in scanrefer_train
+                       if d["scene_id"] in set(train_scene_list)]
+
+    def one_per_scene(scene_list, source):
+        by_scene = {}
+        for d in source:
+            by_scene.setdefault(d["scene_id"], d)
+        return [dict(by_scene[s], ann_id=by_scene[s]["ann_id"])
+                for s in scene_list]
+
+    eval_train = one_per_scene(train_scene_list, scanrefer_train)
+    eval_val = one_per_scene(val_scene_list, scanrefer_val)
+    all_scenes = train_scene_list + val_scene_list
+    return scanrefer_train, eval_train, eval_val, all_scenes

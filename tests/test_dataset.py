@@ -1,0 +1,159 @@
+"""Dataset pipeline tests on generated fixture scenes (no real ScanNet)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scan2cap_tpu.data.dataset import (
+    ScannetReferenceDataset, Loader, get_scanrefer, DC_NYU2CLS,
+    rotate_aligned_boxes_along_axis,
+)
+from scan2cap_tpu.data.vocab import (
+    build_vocabulary, build_embedding_table, encode_caption,
+)
+from scan2cap_tpu.utils.pc_utils import rotz
+
+
+def make_fixture_scene(path, scene_id, rng, n_points=2000, n_obj=3):
+    """Write the 4 per-scene .npy files the loader expects
+    (data/scannet/batch_load_scannet_data.py output schema)."""
+    verts = np.zeros((n_points, 9), np.float32)
+    verts[:, 0:3] = rng.rand(n_points, 3) * 6 - 3
+    verts[:, 3:6] = rng.randint(0, 255, (n_points, 3))
+    verts[:, 6:9] = rng.randn(n_points, 3)
+    ins = np.zeros(n_points, np.int32)
+    sem = np.zeros(n_points, np.int32)
+    bboxes = np.zeros((n_obj, 8), np.float32)
+    ppo = n_points // (n_obj + 1)
+    for o in range(n_obj):
+        lo, hi = o * ppo, (o + 1) * ppo
+        center = rng.rand(3) * 4 - 2
+        size = rng.rand(3) * 0.8 + 0.3
+        verts[lo:hi, 0:3] = center + (rng.rand(ppo, 3) - 0.5) * size
+        ins[lo:hi] = o + 1
+        sem[lo:hi] = 5  # chair
+        bboxes[o] = [*center, *size, 5, o]  # nyu40 id 5, instance id o
+    np.save(os.path.join(path, f"{scene_id}_aligned_vert.npy"), verts)
+    np.save(os.path.join(path, f"{scene_id}_ins_label.npy"), ins)
+    np.save(os.path.join(path, f"{scene_id}_sem_label.npy"), sem)
+    np.save(os.path.join(path, f"{scene_id}_aligned_bbox.npy"), bboxes)
+
+
+def make_fixture_glove(words):
+    rs = np.random.RandomState(7)
+    return {w: rs.randn(300).astype(np.float32) for w in
+            list(words) + ["pad_", "unk", "sos", "eos"]}
+
+
+@pytest.fixture
+def fixture_data(tmp_path, rng):
+    scenes = ["scene0000_00", "scene0001_00"]
+    for s in scenes:
+        make_fixture_scene(str(tmp_path), s, rng)
+    words = ["this", "is", "a", "red", "chair", "next", "to", "the", "table"]
+    glove = make_fixture_glove(words)
+    scanrefer = []
+    for s in scenes:
+        for obj in range(2):
+            scanrefer.append({
+                "scene_id": s, "object_id": str(obj),
+                "object_name": "chair", "ann_id": "0",
+                "token": ["this", "is", "a", "red", "chair"],
+                "description": "this is a red chair",
+            })
+    return str(tmp_path), scanrefer, glove
+
+
+def _make_dataset(fixture_data, **kw):
+    data_dir, scanrefer, glove = fixture_data
+    return ScannetReferenceDataset(
+        scanrefer, [d["scene_id"] for d in scanrefer],
+        scannet_data_dir=data_dir, glove_path="", glove=glove,
+        num_points=1024, max_num_obj=16,
+        use_height=True, use_color=True, use_normal=True, **kw)
+
+
+def test_dataset_shapes_and_votes(fixture_data):
+    ds = _make_dataset(fixture_data)
+    d = ds.__getitem__(0, rs=np.random.RandomState(0))
+    assert d["point_clouds"].shape == (1024, 3 + 3 + 3 + 1)
+    assert d["lang_feat"].shape == (32, 300)
+    assert d["lang_ids"].shape == (32,)
+    assert d["vote_label"].shape == (1024, 9)
+    assert d["center_label"].shape == (16, 3)
+    assert d["gt_box_corner_label"].shape == (16, 8, 3)
+    # captions: sos + 5 words + eos
+    assert int(d["lang_len"]) == 7
+    assert d["lang_ids"][0] == ds.vocabulary["word2idx"]["sos"]
+    assert d["lang_ids"][6] == ds.vocabulary["word2idx"]["eos"]
+    assert d["lang_ids"][7] == 0
+    # votes: masked points vote toward their instance AABB center
+    vm = d["vote_label_mask"].astype(bool)
+    assert vm.sum() > 0
+    # the 3 tiled votes are identical
+    np.testing.assert_allclose(d["vote_label"][:, :3], d["vote_label"][:, 3:6])
+    # 3 boxes labeled, all chairs (class 2)
+    assert int(d["num_bbox"]) == 3
+    np.testing.assert_array_equal(d["sem_cls_label"][:3], 2)
+    assert d["box_label_mask"][:3].sum() == 3
+    # ref target box corresponds to object_id 0
+    assert d["ref_box_label"][0] == 1
+    # gt corners consistent with center labels
+    centers = (d["gt_box_corner_label"][:3].min(1)
+               + d["gt_box_corner_label"][:3].max(1)) / 2
+    np.testing.assert_allclose(centers, d["center_label"][:3], atol=1e-4)
+
+
+def test_dataset_augmentation_reproducible(fixture_data):
+    ds = _make_dataset(fixture_data, augment=True)
+    d1 = ds.__getitem__(0, rs=np.random.RandomState(5))
+    d2 = ds.__getitem__(0, rs=np.random.RandomState(5))
+    np.testing.assert_array_equal(d1["point_clouds"], d2["point_clouds"])
+    d3 = ds.__getitem__(0, rs=np.random.RandomState(6))
+    assert not np.allclose(d1["point_clouds"], d3["point_clouds"])
+    # votes computed after augmentation: masked votes still point to centers
+    vm = d1["vote_label_mask"].astype(bool)
+    pts = d1["point_clouds"][vm, :3]
+    votes = d1["vote_label"][vm, :3]
+    assert np.abs(votes).max() < 3.0  # offsets stay box-scale
+
+
+def test_loader_batching(fixture_data):
+    ds = _make_dataset(fixture_data)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["point_clouds"].shape == (2, 1024, 10)
+    assert b["lang_ids"].shape == (2, 32)
+
+
+def test_vocab_and_embedding(fixture_data):
+    _, scanrefer, glove = fixture_data
+    vocab = build_vocabulary(scanrefer, glove)
+    assert [vocab["word2idx"][w] for w in ("pad_", "unk", "sos", "eos")] == [0, 1, 2, 3]
+    table = build_embedding_table(vocab, glove)
+    assert table.shape == (len(vocab["word2idx"]), 300)
+    np.testing.assert_allclose(
+        table[vocab["word2idx"]["chair"]], glove["chair"])
+    emb, ids, ln = encode_caption(["red", "chair", "zzz"], vocab, glove)
+    assert ln == 5
+    assert ids[3] == vocab["word2idx"]["unk"]  # oov word
+    np.testing.assert_allclose(emb[2], glove["chair"])
+
+
+def test_nyu2cls_mapping():
+    assert DC_NYU2CLS[5] == 2    # chair
+    assert DC_NYU2CLS[4] == 1    # bed
+    assert DC_NYU2CLS[39] == 17  # otherfurniture -> others
+    assert 1 not in DC_NYU2CLS   # wall excluded
+    assert 22 not in DC_NYU2CLS  # ceiling excluded
+
+
+def test_rotate_aligned_boxes_along_axis_small_angle(rng):
+    boxes = np.concatenate([rng.randn(5, 3), rng.rand(5, 3) + 0.5], axis=1)
+    rot = rotz(0.0)
+    out = rotate_aligned_boxes_along_axis(boxes, rot, "z")
+    np.testing.assert_allclose(out, boxes, atol=1e-6)
