@@ -59,21 +59,23 @@ def main():
     def eval_step(params, batch_stats, batch):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch, use_tf=False, is_eval=True, train=False)
-        return out["lang_cap"], out["bbox_corner"], out["objectness_scores"]
+        checksum = (jnp.sum(out["lang_cap"]) + jnp.sum(out["bbox_corner"])
+                    + jnp.sum(out["objectness_scores"]))
+        return out["lang_cap"], out["bbox_corner"], out["objectness_scores"], checksum
 
     params, stats = variables["params"], variables["batch_stats"]
 
     # compile + warmup
     out = eval_step(params, stats, batch)
-    jax.block_until_ready(out)
+    float(out[-1])
 
-    # block every call: the tunneled backend memoizes identical unblocked
-    # dispatches, which would make an unsynchronized loop meaningless
+    # force a device->host scalar readback per call: block_until_ready alone
+    # is unreliable over the tunneled backend (async futures resolve early)
     times = []
     for s in range(STEPS):
         t0 = time.perf_counter()
         out = eval_step(params, stats, batches[s + 1])
-        jax.block_until_ready(out)
+        float(out[-1])
         times.append(time.perf_counter() - t0)
     dt = sum(sorted(times)[: max(1, STEPS // 2)]) / max(1, STEPS // 2)
 

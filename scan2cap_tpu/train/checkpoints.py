@@ -1,0 +1,63 @@
+"""Checkpointing — best / last / resume triad (lib/solver.py:186-188,492-515).
+
+The reference keeps ``model.pth`` (best by criterion), ``model_last.pth``
+(every epoch), and a full ``checkpoint.tar`` resume bundle {epoch, model,
+optimizer, best}.  Here the same triad is stored with orbax:
+  <root>/best, <root>/last, <root>/resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointIO:
+    """Tiny wrapper: orbax when available, npz-pickle fallback."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer() if _HAS_ORBAX else None
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def save(self, name: str, tree: Dict[str, Any]) -> None:
+        path = self._path(name)
+        if self._ckptr is not None:
+            if os.path.exists(path):
+                import shutil
+                shutil.rmtree(path)
+            self._ckptr.save(path, _to_numpy(tree))
+            self._ckptr.wait_until_finished()
+        else:  # pragma: no cover
+            import pickle
+            with open(path + ".pkl", "wb") as f:
+                pickle.dump(_to_numpy(tree), f)
+
+    def restore(self, name: str, target: Optional[Dict] = None):
+        path = self._path(name)
+        if self._ckptr is not None:
+            return self._ckptr.restore(
+                path, target=_to_numpy(target) if target is not None else None)
+        import pickle  # pragma: no cover
+        with open(path + ".pkl", "rb") as f:
+            return pickle.load(f)
+
+    def exists(self, name: str) -> bool:
+        path = self._path(name)
+        return os.path.exists(path) or os.path.exists(path + ".pkl")

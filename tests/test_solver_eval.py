@@ -1,0 +1,118 @@
+"""Solver loop + caption eval orchestration on tiny synthetic data."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scan2cap_tpu.config import Config, ModelConfig
+from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+from scan2cap_tpu.models import CapNet
+from scan2cap_tpu.train import create_train_state, make_train_step, make_eval_step
+from scan2cap_tpu.train.solver import Solver
+from scan2cap_tpu.eval.eval_helper import (
+    prepare_corpus, decode_caption, check_candidates, postprocess_scene_cap,
+    score_captions,
+)
+
+TINY = ModelConfig(
+    num_points=256, num_proposals=16, sa_npoints=(64, 32, 16, 16),
+    max_num_obj=8, num_locals=4, min_iou=-1.0)
+
+
+class SyntheticLoader:
+    def __init__(self, cfg, vocab, n_batches=2, batch_size=2):
+        self.batches = [
+            make_scene_batch(cfg, batch_size=batch_size, num_objects=3,
+                             vocab=vocab, seed=s)
+            for s in range(n_batches)]
+        for i, b in enumerate(self.batches):
+            b["dataset_idx"] = np.arange(batch_size, dtype=np.int32)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_solver_trains_and_checkpoints(tmp_path):
+    mcfg = TINY
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=32)
+    loader = SyntheticLoader(mcfg, vocab)
+    batch = {k: jnp.asarray(v) for k, v in loader.batches[0].items()}
+    model = CapNet(mcfg, num_vocabs=32)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, donate=False)
+
+    calls = []
+
+    def eval_fn(state):
+        calls.append(1)
+        return {"cider": 0.5 * len(calls), "bleu-4": 0.1}
+
+    solver = Solver(cfg, model, state, step, loader, eval_fn=eval_fn,
+                    stamp="test_run", output_root=str(tmp_path),
+                    val_step=2, verbose=1)
+    best = solver(epochs=2)
+    assert solver.global_iter == 4
+    assert len(calls) == 2
+    assert best["cider"] == 1.0
+    assert solver.ckpt.exists("best")
+    assert solver.ckpt.exists("last")
+    assert solver.ckpt.exists("resume")
+    assert os.path.exists(os.path.join(solver.output, "log.txt"))
+    assert os.path.exists(os.path.join(solver.output, "scalars.json"))
+    # restore round-trips
+    restored = solver.ckpt.restore(
+        "best", {"params": state.params, "batch_stats": state.batch_stats})
+    leaves_a = jax.tree.leaves(restored["params"])
+    leaves_b = jax.tree.leaves(solver.state.params)
+    assert len(leaves_a) == len(leaves_b)
+
+
+def test_decode_caption_and_corpus():
+    vocab = make_vocab(num_vocabs=10)
+    idx2word = vocab["idx2word"]
+    eos = 3
+    tokens = np.array([5, 6, eos, 7, 8])
+    s = decode_caption(tokens, idx2word)
+    assert s.startswith("sos ") and s.endswith(" eos")
+    assert idx2word["7"] not in s  # stops at eos
+
+    raw = [{"scene_id": "s1", "object_id": "0", "object_name": "chair",
+            "token": ["a", "red", "chair"]},
+           {"scene_id": "s1", "object_id": "0", "object_name": "chair",
+            "token": ["the", "chair"]}]
+    corpus = prepare_corpus(raw)
+    assert corpus["s1|0|chair"] == ["sos a red chair eos", "sos the chair eos"]
+    cands = check_candidates(corpus, {})
+    assert cands["s1|0|chair"] == ["sos eos"]
+
+
+def test_postprocess_and_score():
+    mcfg = TINY
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=32)
+    batch_np = make_scene_batch(mcfg, batch_size=2, num_objects=3, vocab=vocab)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    model = CapNet(mcfg, num_vocabs=32)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    eval_step = make_eval_step(cfg, model)
+    out = eval_step(state, batch)
+    post = postprocess_scene_cap(out, batch, min_iou=-1.0)
+    assert post["keep"].shape == (2, mcfg.num_proposals)
+    assert post["captions"].shape == (2, mcfg.num_proposals, mcfg.max_des_len - 1)
+    assert np.isfinite(np.asarray(post["ious"])).all()
+
+    # scoring wires up end to end
+    corpus = {"k1": ["sos a red chair eos"], "k2": ["sos a table eos"]}
+    cands = {"k1": ["sos a red chair eos"]}
+    bleu, cider, rouge, meteor = score_captions(corpus, cands)
+    assert 0 <= bleu[0][3] <= 1
+    assert cider[0] >= 0
+    assert 0 <= rouge[0] <= 1
+    assert 0 <= meteor[0] <= 1
