@@ -1,0 +1,136 @@
+"""Evaluation CLI — mirror of /root/reference/scripts/eval.py.
+
+Evaluates a trained run folder: caption metrics (CiDEr/BLEU/ROUGE/METEOR at
+--min_iou) and/or detection mAP@0.25/0.5.  Flags must match the train run
+(recorded in info.json — README.md:27).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", type=str, required=True,
+                   help="output folder containing ckpt/ and info.json")
+    p.add_argument("--dataset", type=str, default="ScanRefer")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--min_iou", type=float, default=0.5)
+    p.add_argument("--eval_caption", action="store_true")
+    p.add_argument("--eval_detection", action="store_true")
+    p.add_argument("--use_last", action="store_true",
+                   help="evaluate model_last instead of best")
+    p.add_argument("--force", action="store_true")
+    return p.parse_args()
+
+
+def evaluate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.config import Config, PathConfig
+    from scan2cap_tpu.data.dataset import (
+        ScannetReferenceDataset, Loader, get_scanrefer)
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.train import create_train_state, make_eval_step
+    from scan2cap_tpu.train.checkpoints import CheckpointIO
+    from scan2cap_tpu.eval.eval_helper import eval_cap, prepare_corpus
+    from scan2cap_tpu.eval.ap_helper import (
+        APCalculator, parse_predictions_device, assemble_pred_map_cls,
+        parse_groundtruths)
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from train import model_config_from_args  # reuse arg->config mapping
+
+    paths = PathConfig()
+    folder = os.path.join(paths.output, args.folder)
+    with open(os.path.join(folder, "info.json")) as f:
+        info = json.load(f)
+    targs = argparse.Namespace(**info)
+    mcfg = model_config_from_args(targs)
+    cfg = Config(model=mcfg)
+
+    train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")
+    val_path = os.path.join(paths.data, f"{args.dataset}_filtered_val.json")
+    scanrefer_train, _, eval_val, all_scenes = get_scanrefer(
+        train_path, val_path, getattr(targs, "num_scenes", -1))
+
+    common = dict(
+        scannet_data_dir=paths.scannet_data,
+        glove_path=paths.glove,
+        num_points=mcfg.num_points,
+        use_height=mcfg.use_height,
+        use_color=mcfg.use_color,
+        use_normal=mcfg.use_normal,
+        use_multiview=mcfg.use_multiview,
+        multiview_path=paths.multiview,
+    )
+    train_ds = ScannetReferenceDataset(
+        scanrefer_train, all_scenes, split="train", augment=False, **common)
+    val_ds = ScannetReferenceDataset(
+        eval_val, all_scenes, split="val", augment=False,
+        vocab=train_ds.vocabulary, glove=train_ds.glove, **common)
+    val_loader = Loader(val_ds, args.batch_size, shuffle=False,
+                        seed=args.seed, drop_last=False)
+
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    example = next(iter(val_loader))
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+    state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
+    ckpt = CheckpointIO(os.path.join(folder, "ckpt"))
+    restored = ckpt.restore("last" if args.use_last else "best",
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats})
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"])
+    eval_step = make_eval_step(cfg, model)
+
+    if args.eval_caption:
+        with open(os.path.join(paths.data,
+                               "ScanRefer_filtered_organized.json")) as f:
+            organized = json.load(f)
+        corpus = prepare_corpus(
+            [d for d in json.load(open(val_path))
+             if d["scene_id"] in {e["scene_id"] for e in eval_val}])
+        bleu, cider, rouge, meteor = eval_cap(
+            eval_step, state, val_ds, val_loader, organized,
+            min_iou=args.min_iou, corpus=corpus)
+        print(f"[BLEU-1] {bleu[0][0]:.4f}")
+        print(f"[BLEU-2] {bleu[0][1]:.4f}")
+        print(f"[BLEU-3] {bleu[0][2]:.4f}")
+        print(f"[BLEU-4] {bleu[0][3]:.4f}")
+        print(f"[CIDEr]  {cider[0]:.4f}")
+        print(f"[ROUGE]  {rouge[0]:.4f}")
+        print(f"[METEOR] {meteor[0]:.4f}")
+
+    if args.eval_detection:
+        calcs = {t: APCalculator(t) for t in (0.25, 0.5)}
+        for batch in val_loader:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            jbatch["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+            out = eval_step(state, jbatch)
+            parsed = jax.device_get(parse_predictions_device(out))
+            preds = assemble_pred_map_cls(
+                np.asarray(out["bbox_corner"]), parsed)
+            gts = parse_groundtruths(batch)
+            for c in calcs.values():
+                c.step(preds, gts)
+        for t, c in calcs.items():
+            metrics = c.compute_metrics()
+            print(f"--- mAP@{t}: {metrics['mAP']:.4f}  AR@{t}: {metrics['AR']:.4f}")
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    np.random.seed(args.seed)
+    evaluate(args)

@@ -1,0 +1,216 @@
+"""Training CLI — mirror of /root/reference/scripts/train.py flags (:306-350).
+
+Builds dataloaders, CapNet, the pjit train step, and runs the Solver; run
+metadata is persisted to info.json (scripts/train.py:183-197) so eval/predict
+can verify flag consistency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tag", type=str, default="")
+    p.add_argument("--dataset", type=str, default="ScanRefer",
+                   help="ScanRefer or ReferIt3D")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument("--verbose", type=int, default=10)
+    p.add_argument("--val_step", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=1e-5)
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--num_proposals", type=int, default=256)
+    p.add_argument("--num_locals", type=int, default=-1)
+    p.add_argument("--num_scenes", type=int, default=-1)
+    p.add_argument("--num_graph_steps", type=int, default=0)
+    p.add_argument("--criterion", type=str, default="cider")
+    p.add_argument("--query_mode", type=str, default="center")
+    p.add_argument("--graph_mode", type=str, default="edge_conv")
+    p.add_argument("--graph_aggr", type=str, default="add")
+    p.add_argument("--no_height", action="store_true")
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--no_detection", action="store_true")
+    p.add_argument("--no_caption", action="store_true")
+    p.add_argument("--use_tf", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_normal", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--use_topdown", action="store_true")
+    p.add_argument("--use_relation", action="store_true")
+    p.add_argument("--use_orientation", action="store_true")
+    p.add_argument("--use_distance", action="store_true")
+    p.add_argument("--use_pretrained", type=str, default=None)
+    p.add_argument("--use_checkpoint", type=str, default="")
+    p.add_argument("--debug", action="store_true")
+    return p.parse_args()
+
+
+def model_config_from_args(args):
+    from scan2cap_tpu.config import ModelConfig
+    return ModelConfig(
+        num_points=args.num_points,
+        num_proposals=args.num_proposals,
+        num_locals=args.num_locals,
+        num_graph_steps=args.num_graph_steps,
+        query_mode=args.query_mode,
+        graph_mode=args.graph_mode,
+        graph_aggr=args.graph_aggr,
+        use_relation=args.use_relation,
+        use_orientation=args.use_orientation,
+        use_distance=args.use_distance,
+        use_topdown=args.use_topdown,
+        use_color=args.use_color,
+        use_normal=args.use_normal,
+        use_multiview=args.use_multiview,
+        use_height=not args.no_height,
+        no_caption=args.no_caption,
+    )
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.config import Config, TrainConfig, PathConfig
+    from scan2cap_tpu.data.dataset import (
+        ScannetReferenceDataset, Loader, get_scanrefer)
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.parallel import make_mesh, shard_batch
+    from scan2cap_tpu.train import create_train_state, make_train_step, make_eval_step
+    from scan2cap_tpu.train.solver import Solver
+    from scan2cap_tpu.eval.eval_helper import eval_cap, prepare_corpus
+
+    paths = PathConfig()
+    mcfg = model_config_from_args(args)
+    cfg = Config(model=mcfg, train=TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, wd=args.wd, seed=args.seed,
+        epochs=args.epoch, val_step=args.val_step, criterion=args.criterion))
+
+    # ---- data ----
+    train_path = os.path.join(paths.data,
+                              f"{args.dataset}_filtered_train.json")
+    val_path = os.path.join(paths.data, f"{args.dataset}_filtered_val.json")
+    scanrefer_train, eval_train, eval_val, all_scenes = get_scanrefer(
+        train_path, val_path, args.num_scenes)
+    if args.debug:
+        scanrefer_train = [scanrefer_train[0]] * args.batch_size
+        eval_train = [scanrefer_train[0]]
+        eval_val = [scanrefer_train[0]]
+
+    scan2cad = None
+    if args.use_orientation:
+        with open(os.path.join(paths.data,
+                               "scannet_instance_rotations.json")) as f:
+            scan2cad = json.load(f)
+
+    common = dict(
+        scannet_data_dir=paths.scannet_data,
+        glove_path=paths.glove,
+        num_points=args.num_points,
+        use_height=not args.no_height,
+        use_color=args.use_color,
+        use_normal=args.use_normal,
+        use_multiview=args.use_multiview,
+        multiview_path=paths.multiview,
+    )
+    train_ds = ScannetReferenceDataset(
+        scanrefer_train, all_scenes, split="train",
+        augment=not args.no_augment, scan2cad_rotation=scan2cad, **common)
+    val_ds = ScannetReferenceDataset(
+        eval_val, all_scenes, split="val", augment=False,
+        vocab=train_ds.vocabulary, glove=train_ds.glove, **common)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True,
+                          seed=args.seed)
+    val_loader = Loader(val_ds, args.batch_size, shuffle=False,
+                        seed=args.seed, drop_last=False)
+
+    with open(os.path.join(paths.data,
+                           "ScanRefer_filtered_organized.json")) as f:
+        organized = json.load(f)
+
+    # ---- model + state ----
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    example = next(iter(train_loader))
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+    state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
+
+    if args.use_pretrained:
+        # warm-start detection modules from a pretrained run
+        # (scripts/train.py:82-105 mounts backbone/vgen/proposal)
+        from scan2cap_tpu.train.checkpoints import CheckpointIO
+        pre = CheckpointIO(os.path.join(paths.output, args.use_pretrained,
+                                        "ckpt")).restore("best")
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        for sub in ("backbone_net", "vgen", "proposal"):
+            if sub in pre["params"]:
+                params[sub] = pre["params"][sub]
+                stats[sub] = pre["batch_stats"][sub]
+        state = state.replace(params=params, batch_stats=stats)
+
+    train_step = make_train_step(
+        cfg, model,
+        detection=not args.no_detection,
+        caption=not args.no_caption,
+        orientation=args.use_orientation,
+        distance=args.use_distance,
+        use_tf=True)
+    eval_step = make_eval_step(cfg, model)
+
+    corpus_val = prepare_corpus(
+        [d for d in json.load(open(val_path))
+         if d["scene_id"] in {e["scene_id"] for e in eval_val}])
+
+    def eval_fn(state):
+        if args.no_caption:
+            return {}
+        bleu, cider, rouge, meteor = eval_cap(
+            eval_step, state, val_ds, val_loader, organized,
+            corpus=corpus_val)
+        return {
+            "bleu-1": bleu[0][0], "bleu-2": bleu[0][1],
+            "bleu-3": bleu[0][2], "bleu-4": bleu[0][3],
+            "cider": cider[0], "rouge": rouge[0], "meteor": meteor[0],
+        }
+
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if args.tag:
+        stamp += "_" + args.tag.upper()
+
+    solver = Solver(
+        cfg, model, state, train_step, train_loader,
+        eval_fn=None if args.no_caption else eval_fn,
+        stamp=stamp, val_step=args.val_step,
+        detection=not args.no_detection, caption=not args.no_caption,
+        criterion=args.criterion, verbose=args.verbose,
+        lr_decay=args.no_caption, bn_decay=args.no_caption)
+
+    # info.json parity (scripts/train.py:183-197)
+    info = dict(vars(args))
+    info["num_train"] = len(train_ds)
+    info["num_eval_val"] = len(val_ds)
+    with open(os.path.join(solver.output, "info.json"), "w") as f:
+        json.dump(info, f, indent=4)
+
+    print(f"start training... stamp: {stamp}")
+    solver(args.epoch, args.verbose)
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    np.random.seed(args.seed)
+    train(args)
