@@ -37,9 +37,16 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
     hit = d2 < radius2
     order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     key = jnp.where(hit, order, order + N)
-    # nsample smallest keys == first nsample hits in index order
-    neg_topk, _ = jax.lax.top_k(-key, nsample)        # (M, nsample)
+    # nsample smallest keys == first nsample hits in index order;
+    # when nsample > N (huge balls, e.g. MaskVoteNet's 512-sample r=5 query
+    # over few votes) the extra slots are first-hit padding
+    k = min(nsample, N)
+    neg_topk, _ = jax.lax.top_k(-key, k)              # (M, k)
     cand = -neg_topk
+    if k < nsample:
+        cand = jnp.concatenate(
+            [cand, jnp.full((cand.shape[0], nsample - k), 2 * N, cand.dtype)],
+            axis=1)
     valid = cand < N
     idx = jnp.where(valid, cand, 0)
     # pad invalid slots with the first hit (slot 0); if no hit at all,
