@@ -46,16 +46,36 @@ def organize_prediction(predictions: Dict) -> Dict:
     return organized
 
 
-def organize_gt(gt_json: Dict) -> Dict:
-    """GT json: {scene_id: {object_id: [{token, object_name, bbox...}]}} with
-    per-annotation corner boxes (scripts/build_benchmark_gt.py output)."""
+def _sem_id(object_name: str) -> int:
+    from scan2cap_tpu.config import SCANNET_TYPE2CLASS
+    return SCANNET_TYPE2CLASS.get(" ".join(object_name.split("_")), 17)
+
+
+def organize_gt(gt_json) -> Dict:
+    """GT json: the scripts/build_benchmark_gt.py output — a LIST of ScanRefer
+    entries each carrying a "bbox" (8,3) corner list.  Groups per scene:
+    one box per object, all annotations' captions (benchmark/eval.py:100-178).
+    A pre-organized {scene: {"boxes": ...}} dict passes through unchanged."""
+    if isinstance(gt_json, dict):
+        first = next(iter(gt_json.values()), None)
+        if isinstance(first, dict) and "boxes" in first:
+            return gt_json
+        # nested {scene: {object_id: [anns]}} form
+        gt_json = [dict(a, scene_id=s, object_id=o)
+                   for s, objs in gt_json.items()
+                   for o, anns in objs.items() for a in anns]
+    by_scene: Dict[str, Dict[str, list]] = {}
+    for d in gt_json:
+        by_scene.setdefault(d["scene_id"], {}) \
+            .setdefault(d["object_id"], []).append(d)
     organized = {}
-    for scene_id, objects in gt_json.items():
+    for scene_id, objects in by_scene.items():
         boxes, object_ids, object_sems, captions = [], [], [], []
         for object_id, anns in objects.items():
             boxes.append(np.asarray(anns[0]["bbox"], np.float64))
             object_ids.append(int(object_id))
-            object_sems.append(anns[0].get("sem_id", 17))
+            object_sems.append(anns[0].get(
+                "sem_id", _sem_id(anns[0].get("object_name", ""))))
             captions.append(["sos " + " ".join(a["token"]) + " eos"
                              for a in anns])
         organized[scene_id] = {
