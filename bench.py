@@ -1,16 +1,22 @@
 """Benchmark: ScanRefer-style eval throughput (detect + caption) on one chip.
 
 Measures the full inference path of the flagship CapNet — PointNet++ over
-40k points, voting, 256 proposals, relational graph, and beam-free caption
-decoding for ALL 256 proposals × 29 GRU-attention steps (what
-`lib/eval_helper.py:feed_scene_cap` does per val batch) — as scenes/sec on
-the available accelerator.
+40k points (multiview+normal+height features), voting, 256 proposals,
+relational graph (2 EdgeConv steps), and caption decoding for ALL 256
+proposals × 29 GRU-attention steps (what lib/eval_helper.py:feed_scene_cap
+does per val batch) — as scenes/sec.
+
+The input scene is synthesized ON DEVICE inside the same jit program from a
+per-step PRNG key: the benching host link (a tunnel in this environment) is
+orders of magnitude slower than a production host-to-HBM path and repeated
+identical dispatches can be served from a cache, so per-step inputs must be
+fresh yet transfer-free.
 
 Baseline (vs_baseline denominator): the reference's eval path runs the
 256-proposal × 29-step decode as a Python loop with per-step host syncs
-(caption_module.py:529-585) plus CPU box decode; on a V100 this sustains
-~2 scenes/sec (estimate consistent with the repo's own "8x faster" note for
-its successor, README.md:19 — there is no published number, see BASELINE.md).
+(caption_module.py:529-585) plus CPU box decode/NMS; on a V100 this sustains
+~2 scenes/sec (estimate; the repo publishes no number — see BASELINE.md, and
+its own successor advertises "8x faster", README.md:19).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,7 +32,8 @@ import numpy as np
 
 BASELINE_SCENES_PER_SEC = 2.0
 BATCH = 8
-STEPS = 10
+STEPS = 8
+NUM_VOCABS = 3433
 
 
 def main():
@@ -37,47 +44,56 @@ def main():
     cfg = ModelConfig(
         num_graph_steps=2, num_locals=10, use_topdown=True,
         use_relation=True, use_orientation=True,
-        use_normal=True, use_multiview=True,
-        compute_dtype="bfloat16")
-    num_vocabs = 3433
-    vocab = make_vocab(num_vocabs=num_vocabs, emb_size=cfg.emb_size)
-    # one distinct batch per timed step — the tunneled TPU backend can cache
-    # repeated identical executions, which would fake the timing
-    batches = [
-        {k: jnp.asarray(v) for k, v in make_scene_batch(
-            cfg, batch_size=BATCH, num_objects=6, vocab=vocab, seed=s).items()}
-        for s in range(STEPS + 1)
-    ]
-    batch = batches[0]
+        use_normal=True, use_multiview=True)
+    in_dim = 3 + cfg.input_feature_dim
+    vocab = make_vocab(num_vocabs=NUM_VOCABS, emb_size=cfg.emb_size)
 
-    model = CapNet(cfg, num_vocabs=num_vocabs)
+    # one tiny host batch only to initialize parameters
+    small = ModelConfig(**{**cfg.__dict__, "num_points": cfg.num_points})
+    init_batch = make_scene_batch(small, batch_size=1, num_objects=4,
+                                  vocab=vocab, seed=0)
+    emb_table = jnp.asarray(vocab["emb_table"])
+    lang_feat = jnp.asarray(
+        np.tile(init_batch["lang_feat"][:1], (BATCH, 1, 1)))
+
+    model = CapNet(cfg, num_vocabs=NUM_VOCABS)
     init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
-    variables = init(jax.random.PRNGKey(0), batch, use_tf=True,
-                     is_eval=False, train=False)
+    variables = init(
+        jax.random.PRNGKey(0),
+        {**{k: jnp.asarray(v) for k, v in init_batch.items()},
+         "glove_emb_table": emb_table},
+        use_tf=True, is_eval=False, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    N = cfg.num_points
 
     @jax.jit
-    def eval_step(params, batch_stats, batch):
+    def eval_step(params, batch_stats, key):
+        # synthesize the scene on device: room-scale xyz + random features
+        kxyz, kfeat = jax.random.split(key)
+        xyz = jax.random.uniform(kxyz, (BATCH, N, 3), minval=-4.0, maxval=4.0)
+        feats = jax.random.normal(kfeat, (BATCH, N, in_dim - 3)) * 0.1
+        pc = jnp.concatenate([xyz, feats], axis=-1)
+        batch = {
+            "point_clouds": pc,
+            "lang_feat": lang_feat,
+            "glove_emb_table": emb_table,
+        }
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch, use_tf=False, is_eval=True, train=False)
         checksum = (jnp.sum(out["lang_cap"]) + jnp.sum(out["bbox_corner"])
                     + jnp.sum(out["objectness_scores"]))
-        return out["lang_cap"], out["bbox_corner"], out["objectness_scores"], checksum
+        return checksum
 
-    params, stats = variables["params"], variables["batch_stats"]
+    # compile + warmup (forces completion via scalar readback)
+    float(eval_step(params, stats, jax.random.PRNGKey(1)))
 
-    # compile + warmup
-    out = eval_step(params, stats, batch)
-    float(out[-1])
-
-    # force a device->host scalar readback per call: block_until_ready alone
-    # is unreliable over the tunneled backend (async futures resolve early)
     times = []
     for s in range(STEPS):
         t0 = time.perf_counter()
-        out = eval_step(params, stats, batches[s + 1])
-        float(out[-1])
+        float(eval_step(params, stats, jax.random.PRNGKey(100 + s)))
         times.append(time.perf_counter() - t0)
-    dt = sum(sorted(times)[: max(1, STEPS // 2)]) / max(1, STEPS // 2)
+    dt = float(np.median(times))
 
     scenes_per_sec = BATCH / dt
     print(json.dumps({
