@@ -29,6 +29,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _first_k_keys(key: jax.Array, nsample: int, N: int,
+                  block: int = 2048) -> jax.Array:
+    """Smallest ``nsample`` values per row of ``key`` (M, N), where entries
+    >= N mean "miss".  Exact hierarchical top-k: a full top_k over N = 40k is
+    the single hottest op of the whole pipeline, so reduce per N-block first
+    (each block's first-k is a superset filter of the global first-k)."""
+    M = key.shape[0]
+    k = min(nsample, N)
+    if N > 2 * block:
+        pad = (-N) % block
+        if pad:
+            key = jnp.concatenate(
+                [key, jnp.full((M, pad), 2 * N, key.dtype)], axis=1)
+        nb = (N + pad) // block
+        blocked = key.reshape(M, nb, block)
+        kb = min(k, block)
+        neg, _ = jax.lax.top_k(-blocked, kb)          # (M, nb, kb)
+        key = (-neg).reshape(M, nb * kb)
+    neg_topk, _ = jax.lax.top_k(-key, k)
+    cand = -neg_topk
+    if k < nsample:
+        cand = jnp.concatenate(
+            [cand, jnp.full((M, nsample - k), 2 * N, cand.dtype)], axis=1)
+    return cand
+
+
 def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
                       nsample: int) -> jax.Array:
     """new_xyz: (M, 3), xyz: (N, 3) -> (M, nsample) int32."""
@@ -40,13 +66,7 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
     # nsample smallest keys == first nsample hits in index order;
     # when nsample > N (huge balls, e.g. MaskVoteNet's 512-sample r=5 query
     # over few votes) the extra slots are first-hit padding
-    k = min(nsample, N)
-    neg_topk, _ = jax.lax.top_k(-key, k)              # (M, k)
-    cand = -neg_topk
-    if k < nsample:
-        cand = jnp.concatenate(
-            [cand, jnp.full((cand.shape[0], nsample - k), 2 * N, cand.dtype)],
-            axis=1)
+    cand = _first_k_keys(key, nsample, N)
     valid = cand < N
     idx = jnp.where(valid, cand, 0)
     # pad invalid slots with the first hit (slot 0); if no hit at all,
