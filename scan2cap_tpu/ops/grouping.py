@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 
 def _first_k_keys(key: jax.Array, nsample: int, N: int,
-                  block: int = 2048) -> jax.Array:
+                  block: int = 512) -> jax.Array:
     """Smallest ``nsample`` values per row of ``key`` (M, N), where entries
     >= N mean "miss".  Exact hierarchical top-k: a full top_k over N = 40k is
     the single hottest op of the whole pipeline, so reduce per N-block first
