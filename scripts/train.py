@@ -150,17 +150,22 @@ def train(args):
 
     if args.use_pretrained:
         # warm-start detection modules from a pretrained run
-        # (scripts/train.py:82-105 mounts backbone/vgen/proposal)
-        from scan2cap_tpu.train.checkpoints import CheckpointIO
-        pre = CheckpointIO(os.path.join(paths.output, args.use_pretrained,
-                                        "ckpt")).restore("best")
-        params = dict(state.params)
-        stats = dict(state.batch_stats)
-        for sub in ("backbone_net", "vgen", "proposal"):
-            if sub in pre["params"]:
-                params[sub] = pre["params"][sub]
-                stats[sub] = pre["batch_stats"][sub]
-        state = state.replace(params=params, batch_stats=stats)
+        # (scripts/train.py:82-105 mounts backbone/vgen/proposal);
+        # accepts either a released torch .pth or one of our checkpoints
+        if args.use_pretrained.endswith(".pth"):
+            from scan2cap_tpu.convert import mount_detection_weights
+            state = mount_detection_weights(state, args.use_pretrained)
+        else:
+            from scan2cap_tpu.train.checkpoints import CheckpointIO
+            pre = CheckpointIO(os.path.join(paths.output, args.use_pretrained,
+                                            "ckpt")).restore("best")
+            params = dict(state.params)
+            stats = dict(state.batch_stats)
+            for sub in ("backbone_net", "vgen", "proposal"):
+                if sub in pre["params"]:
+                    params[sub] = pre["params"][sub]
+                    stats[sub] = pre["batch_stats"][sub]
+            state = state.replace(params=params, batch_stats=stats)
 
     train_step = make_train_step(
         cfg, model,
