@@ -1,0 +1,25 @@
+"""Pallas FPS kernel parity (interpret mode on CPU) vs the XLA reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scan2cap_tpu.ops.pallas.fps import furthest_point_sample_pallas
+from scan2cap_tpu.ops.sampling import _furthest_point_sample_xla
+
+
+def test_pallas_fps_matches_xla(rng):
+    xyz = rng.randn(2, 1300, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 64, interpret=True))
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_skips_padding(rng):
+    xyz = rng.randn(1, 500, 3).astype(np.float32) + 3.0
+    xyz[:, 300:] = 0.0  # zero padding must never be selected
+    got = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 32, interpret=True))
+    assert got.max() < 300
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 32))
+    np.testing.assert_array_equal(got, want)
