@@ -110,3 +110,39 @@ def get_scene_cap_loss(
 
     d["loss"] = loss
     return d
+
+
+def compute_object_cls_loss(data_dict: dict, weights=None):
+    """Object classification loss for the object-centric track
+    (loss_helper.py:357-379)."""
+    preds = data_dict["enc_preds"]                  # (B, num_cls)
+    targets = data_dict["object_cat"].astype(jnp.int32)
+    logp = jax.nn.log_softmax(preds, axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    if weights is not None:
+        w = jnp.asarray(weights)[targets]
+        cls_loss = jnp.sum(ce * w) / jnp.sum(w)
+    else:
+        cls_loss = jnp.mean(ce)
+    acc = jnp.mean((jnp.argmax(preds, -1) == targets).astype(jnp.float32))
+    return cls_loss, acc
+
+
+def get_object_cap_loss(data_dict: dict, weights=None, classify: bool = True,
+                        caption: bool = True) -> dict:
+    """Object-centric total loss (loss_helper.py:493-532):
+    loss = cls + cap."""
+    from scan2cap_tpu.losses.caption import compute_cap_loss
+
+    d = dict(data_dict)
+    zero = jnp.zeros((), jnp.float32)
+    if classify:
+        d["cls_loss"], d["cls_acc"] = compute_object_cls_loss(d, weights)
+    else:
+        d["cls_loss"], d["cls_acc"] = zero, zero
+    if caption:
+        d["cap_loss"], d["cap_acc"] = compute_cap_loss(d)
+    else:
+        d["cap_loss"], d["cap_acc"] = zero, zero
+    d["loss"] = d["cls_loss"] + d["cap_loss"]
+    return d
