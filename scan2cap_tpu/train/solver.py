@@ -53,6 +53,7 @@ class Solver:
         verbose: int = 10,
         lr_decay: bool = False,               # detection-only schedules
         bn_decay: bool = False,
+        profile_steps: int = 0,               # jax.profiler trace of steps 2..N
     ):
         self.cfg = cfg
         self.model = model
@@ -67,6 +68,7 @@ class Solver:
         self.verbose = verbose
         self.lr_decay = lr_decay
         self.bn_decay = bn_decay
+        self.profile_steps = profile_steps
 
         self.output = os.path.join(
             output_root or cfg.paths.output, stamp)
@@ -135,11 +137,19 @@ class Solver:
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             fetch_times.append(time.time() - t_fetch)
 
+            # device trace of warm steps (skip the compile step)
+            if self.profile_steps and self.global_iter == 1:
+                jax.profiler.start_trace(
+                    os.path.join(self.output, "profile"))
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, jbatch, lr_j, mom_j)
             loss = float(metrics["loss"])  # sync point
             step_times.append(time.time() - t0)
             self.global_iter += 1
+            if (self.profile_steps
+                    and self.global_iter == 1 + self.profile_steps):
+                jax.profiler.stop_trace()
+                self._log(f"profiler trace written to {self.output}/profile")
 
             if self.global_iter % self.verbose == 0:
                 mean_fetch = float(np.mean(fetch_times[-self.verbose:]))
