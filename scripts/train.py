@@ -60,6 +60,28 @@ def parse_args():
 
 def model_config_from_args(args):
     from scan2cap_tpu.config import ModelConfig
+    # CI hook: shrink the SA pyramid so fixture-size scenes run fast on CPU
+    if os.environ.get("SCAN2CAP_TEST_TINY"):
+        return ModelConfig(
+            num_points=args.num_points,
+            num_proposals=args.num_proposals,
+            sa_npoints=(128, 64, 32, 16),
+            max_num_obj=16,
+            num_locals=args.num_locals,
+            num_graph_steps=args.num_graph_steps,
+            query_mode=args.query_mode,
+            graph_mode=args.graph_mode,
+            graph_aggr=args.graph_aggr,
+            use_relation=args.use_relation,
+            use_orientation=args.use_orientation,
+            use_distance=args.use_distance,
+            use_topdown=args.use_topdown,
+            use_color=args.use_color,
+            use_normal=args.use_normal,
+            use_multiview=args.use_multiview,
+            use_height=not args.no_height,
+            no_caption=args.no_caption,
+        )
     return ModelConfig(
         num_points=args.num_points,
         num_proposals=args.num_proposals,
@@ -120,6 +142,7 @@ def train(args):
         scannet_data_dir=paths.scannet_data,
         glove_path=paths.glove,
         num_points=args.num_points,
+        max_num_obj=mcfg.max_num_obj,
         use_height=not args.no_height,
         use_color=args.use_color,
         use_normal=args.use_normal,
