@@ -28,6 +28,18 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+# "exact": CUDA-parity first-k in scan order (hierarchical blockwise top-k).
+# "approx": lax.approx_min_k with 0.99 recall — ~1.7x faster on TPU; the ~1%
+# substituted slots are still valid in-ball points, just later in scan order
+# (the scan order is a random permutation after dataset sampling anyway).
+DEFAULT_BALL_QUERY_MODE = "exact"
+
+
+def set_ball_query_mode(mode: str) -> None:
+    global DEFAULT_BALL_QUERY_MODE
+    assert mode in ("exact", "approx"), mode
+    DEFAULT_BALL_QUERY_MODE = mode
+
 
 def _first_k_keys(key: jax.Array, nsample: int, N: int,
                   block: int = 512) -> jax.Array:
@@ -56,17 +68,22 @@ def _first_k_keys(key: jax.Array, nsample: int, N: int,
 
 
 def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
-                      nsample: int) -> jax.Array:
+                      nsample: int, mode: str = "exact") -> jax.Array:
     """new_xyz: (M, 3), xyz: (N, 3) -> (M, nsample) int32."""
     N = xyz.shape[0]
     d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)  # (M,N)
     hit = d2 < radius2
     order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    key = jnp.where(hit, order, order + N)
     # nsample smallest keys == first nsample hits in index order;
     # when nsample > N (huge balls, e.g. MaskVoteNet's 512-sample r=5 query
     # over few votes) the extra slots are first-hit padding
-    cand = _first_k_keys(key, nsample, N)
+    if mode == "approx" and nsample <= N and N >= 4096:
+        keyf = jnp.where(hit, order.astype(jnp.float32), jnp.float32(2 * N))
+        vals, _ = jax.lax.approx_min_k(keyf, nsample, recall_target=0.99)
+        cand = jnp.sort(vals.astype(jnp.int32), axis=1)  # restore scan order
+    else:
+        key = jnp.where(hit, order, order + N)
+        cand = _first_k_keys(key, nsample, N)
     valid = cand < N
     idx = jnp.where(valid, cand, 0)
     # pad invalid slots with the first hit (slot 0); if no hit at all,
@@ -75,9 +92,20 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
     return jnp.where(valid, idx, first).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "chunk"))
 def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
-               nsample: int, chunk: int = 512) -> jax.Array:
+               nsample: int, chunk: int = 512,
+               mode: Optional[str] = None) -> jax.Array:
+    """Dispatch wrapper so the module-level mode toggle is honored at trace
+    time (set_ball_query_mode)."""
+    return _ball_query(xyz, new_xyz, radius, nsample, chunk,
+                       mode or DEFAULT_BALL_QUERY_MODE)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "nsample", "chunk", "mode"))
+def _ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
+                nsample: int, chunk: int = 512,
+                mode: str = "exact") -> jax.Array:
     """Radius neighbor search with CUDA-parity padding semantics.
 
     Args:
@@ -96,7 +124,8 @@ def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
     new_xyz = new_xyz.astype(jnp.float32)
 
     if M <= chunk:
-        fn = functools.partial(_ball_query_chunk, radius2=radius2, nsample=nsample)
+        fn = functools.partial(_ball_query_chunk, radius2=radius2,
+                               nsample=nsample, mode=mode)
         return jax.lax.stop_gradient(jax.vmap(fn)(new_xyz, xyz))
 
     pad = (-M) % chunk
@@ -105,7 +134,7 @@ def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
 
     def per_batch(nq_b, xyz_b):
         def per_chunk(q):
-            return _ball_query_chunk(q, xyz_b, radius2, nsample)
+            return _ball_query_chunk(q, xyz_b, radius2, nsample, mode)
         return jax.lax.map(per_chunk, nq_b)
 
     out = jax.vmap(per_batch)(nq, xyz)                 # (B, nchunk, chunk, S)
