@@ -71,6 +71,9 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
                       nsample: int, mode: str = "exact") -> jax.Array:
     """new_xyz: (M, 3), xyz: (N, 3) -> (M, nsample) int32."""
     N = xyz.shape[0]
+    # broadcast-diff form: XLA fuses it without materializing (M, N, 3), and
+    # it matches the CUDA kernel's f32 arithmetic exactly (a |c|²-2cx+|x|²
+    # matmul form benches the same but loses boundary-precision parity)
     d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)  # (M,N)
     hit = d2 < radius2
     order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
