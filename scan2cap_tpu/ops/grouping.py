@@ -49,12 +49,16 @@ def _first_k_keys(key: jax.Array, nsample: int, N: int,
     (each block's first-k is a superset filter of the global first-k)."""
     M = key.shape[0]
     k = min(nsample, N)
-    if N > 2 * block:
-        pad = (-N) % block
+    # repeatedly reduce blockwise until the candidate axis is small; each
+    # block's first-k is a superset filter of the global first-k, so this is
+    # exact at every level
+    while key.shape[1] > 2 * block:
+        n_cur = key.shape[1]
+        pad = (-n_cur) % block
         if pad:
             key = jnp.concatenate(
                 [key, jnp.full((M, pad), 2 * N, key.dtype)], axis=1)
-        nb = (N + pad) // block
+        nb = (n_cur + pad) // block
         blocked = key.reshape(M, nb, block)
         kb = min(k, block)
         neg, _ = jax.lax.top_k(-blocked, kb)          # (M, nb, kb)
