@@ -43,6 +43,7 @@ class PointnetSAModuleVotes(nn.Module):
     mlp: Sequence[int]          # output widths (input width inferred)
     use_xyz: bool = True
     normalize_xyz: bool = True
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -60,7 +61,8 @@ class PointnetSAModuleVotes(nn.Module):
             xyz, new_xyz, features, self.radius, self.nsample,
             use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
         )                                     # (B, npoint, nsample, 3+C)
-        out = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
+        out = SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
+                        name="mlp")(grouped, train, bn_momentum)
         new_features = jnp.max(out, axis=2)   # (B, npoint, mlp[-1])
         return new_xyz, new_features, inds
 
@@ -69,6 +71,7 @@ class PointnetFPModule(nn.Module):
     """Feature-propagation layer (pointnet2_modules.py:356-416)."""
 
     mlp: Sequence[int]
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -87,7 +90,8 @@ class PointnetFPModule(nn.Module):
             new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             new_features = interpolated
-        return SharedMLP(self.mlp, name="mlp")(new_features, train, bn_momentum)
+        return SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
+                         name="mlp")(new_features, train, bn_momentum)
 
 
 class Pointnet2Backbone(nn.Module):
@@ -95,6 +99,7 @@ class Pointnet2Backbone(nn.Module):
 
     input_feature_dim: int = 0
     sa_npoints: Tuple[int, int, int, int] = (2048, 1024, 512, 256)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, data_dict: dict, train: bool = True,
@@ -107,29 +112,29 @@ class Pointnet2Backbone(nn.Module):
         np1, np2, np3, np4 = self.sa_npoints
 
         xyz, features, inds = PointnetSAModuleVotes(
-            np1, 0.2, 64, (64, 64, 128), name="sa1")(
+            np1, 0.2, 64, (64, 64, 128), compute_dtype=self.compute_dtype, name="sa1")(
                 xyz, features, None, train, bn_momentum)
         d["sa1_inds"], d["sa1_xyz"], d["sa1_features"] = inds, xyz, features
 
         xyz, features, inds = PointnetSAModuleVotes(
-            np2, 0.4, 32, (128, 128, 256), name="sa2")(
+            np2, 0.4, 32, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa2")(
                 xyz, features, None, train, bn_momentum)
         d["sa2_inds"], d["sa2_xyz"], d["sa2_features"] = inds, xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np3, 0.8, 16, (128, 128, 256), name="sa3")(
+            np3, 0.8, 16, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa3")(
                 xyz, features, None, train, bn_momentum)
         d["sa3_xyz"], d["sa3_features"] = xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np4, 1.2, 16, (128, 128, 256), name="sa4")(
+            np4, 1.2, 16, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa4")(
                 xyz, features, None, train, bn_momentum)
         d["sa4_xyz"], d["sa4_features"] = xyz, features
 
-        features = PointnetFPModule((256, 256), name="fp1")(
+        features = PointnetFPModule((256, 256), compute_dtype=self.compute_dtype, name="fp1")(
             d["sa3_xyz"], d["sa4_xyz"], d["sa3_features"], d["sa4_features"],
             train, bn_momentum)
-        features = PointnetFPModule((256, 256), name="fp2")(
+        features = PointnetFPModule((256, 256), compute_dtype=self.compute_dtype, name="fp2")(
             d["sa2_xyz"], d["sa3_xyz"], d["sa2_features"], features,
             train, bn_momentum)
 

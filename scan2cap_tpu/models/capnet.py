@@ -37,8 +37,10 @@ class CapNet(nn.Module):
         cfg = self.cfg
 
         # --------- detection branch ---------
+        compute_dtype = (None if cfg.compute_dtype == "float32"
+                         else cfg.compute_dtype)
         d = Pointnet2Backbone(cfg.input_feature_dim, cfg.sa_npoints,
-                              name="backbone_net")(
+                              compute_dtype, name="backbone_net")(
             data_dict, train, bn_momentum)
 
         d["seed_inds"] = d["fp2_inds"]

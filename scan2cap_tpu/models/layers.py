@@ -56,17 +56,24 @@ class SharedMLP(nn.Module):
 
     Mirrors pytorch_utils.SharedMLP (conv2d 1x1 + BN2d + ReLU per layer) in
     channels-last form.  ``features`` lists the *output* widths.
+
+    ``compute_dtype``: matmul compute precision — params stay float32; with
+    bfloat16 the activations ride the MXU's native input width (BN still
+    normalizes in float32 inside).
     """
 
     features: Sequence[int]
     bn: bool = True
     activation: bool = True  # relu after every layer (reference behavior)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
                  bn_momentum: jax.Array | float = 0.1) -> jax.Array:
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         for i, width in enumerate(self.features):
-            x = nn.Dense(width, use_bias=not self.bn, name=f"dense_{i}")(x)
+            x = nn.Dense(width, use_bias=not self.bn, dtype=dtype,
+                         name=f"dense_{i}")(x)
             if self.bn:
                 x = BatchNorm(width, name=f"bn_{i}")(x, train, bn_momentum)
             if self.activation:
