@@ -86,6 +86,51 @@ def main():
         print(f"retrieval bank built: {len(feats)} samples")
         return
 
+    if args.eval:
+        from scan2cap_tpu.train.checkpoints import CheckpointIO
+        from scan2cap_tpu.eval.eval_helper import decode_caption, score_captions
+
+        with open(os.path.join(paths.data, "ScanRefer_filtered_val.json")) as f:
+            scanrefer_val = json.load(f)
+        val_ds = TwoDDataset(scanrefer_val, cfg, glove,
+                             vocab=train_ds.vocabulary)
+        val_loader = Loader(val_ds, args.batch_size, shuffle=False,
+                            seed=args.seed, drop_last=False)
+        model = build_model(cfg, train_ds.num_vocabs)
+        example = {k: jnp.asarray(v) for k, v in next(iter(val_loader)).items()}
+        example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+        init = jax.jit(model.init, static_argnames=("is_eval",))
+        variables = init(jax.random.PRNGKey(args.seed), example, is_eval=False)
+        out_dir = os.path.join(paths.output, f"2d_{args.model}_{args.tag}")
+        variables = CheckpointIO(os.path.join(out_dir, "ckpt")).restore(
+            "best", dict(variables))
+
+        @jax.jit
+        def eval_step(batch):
+            return model.apply(variables, batch, is_eval=True)
+
+        corpus, candidates = {}, {}
+        for d in scanrefer_val:
+            key = "{}|{}|{}".format(d["scene_id"], d["object_id"],
+                                    d["object_name"])
+            corpus.setdefault(key, []).append(
+                "sos " + " ".join(d["token"][:cfg.max_desc_len]) + " eos")
+        idx2word = val_ds.vocabulary["idx2word"]
+        for batch in val_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+            out = eval_step(jb)
+            caps = np.asarray(out["lang_cap"])
+            for b in range(caps.shape[0]):
+                e = val_ds.scanrefer[int(batch["dataset_idx"][b])]
+                key = "{}|{}|{}".format(e["scene_id"], e["object_id"],
+                                        e["object_name"])
+                candidates[key] = [decode_caption(caps[b], idx2word)]
+        bleu, cider, rouge, meteor = score_captions(corpus, candidates)
+        print(f"[BLEU-4] {bleu[0][3]:.4f}  [CIDEr] {cider[0]:.4f}  "
+              f"[ROUGE] {rouge[0]:.4f}  [METEOR] {meteor[0]:.4f}")
+        return
+
     if args.train:
         model = build_model(cfg, train_ds.num_vocabs)
         example = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}

@@ -1,0 +1,104 @@
+"""End-to-end training demo on synthetic scenes (no ScanNet download needed).
+
+Runs the SURVEY.md §7 milestone-1 check at full scale: VoteNet-style
+detection training (backbone + voting + proposal + detection losses) on
+synthetic single scenes, showing vote/objectness/box losses decreasing and
+mAP@0.25 > 0 against the synthetic GT.  Add --caption for the full CapNet.
+
+Synthetic batches are generated host-side once and cycled (the tunnel to the
+TPU in this environment is slow; real deployments stream per-step batches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--num_batches", type=int, default=4,
+                   help="distinct synthetic batches cycled during training")
+    p.add_argument("--caption", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.config import Config, ModelConfig
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.train import create_train_state, make_train_step, make_eval_step
+    from scan2cap_tpu.eval.ap_helper import (
+        APCalculator, parse_predictions_device, assemble_pred_map_cls,
+        parse_groundtruths)
+
+    args = parse_args()
+    mcfg = ModelConfig(num_points=args.num_points,
+                       no_caption=not args.caption, min_iou=-1.0)
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
+
+    print("building synthetic batches...", flush=True)
+    batches = [make_scene_batch(mcfg, batch_size=args.batch_size,
+                                num_objects=6, vocab=vocab, seed=s)
+               for s in range(args.num_batches + 1)]
+    jbatches = [{k: jnp.asarray(v) for k, v in b.items()} for b in batches]
+
+    model = CapNet(mcfg, num_vocabs=128)
+    state = create_train_state(cfg, model, jbatches[0],
+                               jax.random.PRNGKey(args.seed))
+    step = make_train_step(cfg, model, detection=True,
+                           caption=args.caption, donate=False)
+    lr = jnp.asarray(args.lr)
+    mom = jnp.asarray(0.1)
+
+    t_start = time.time()
+    first = {}
+    for i in range(args.steps):
+        state, metrics = step(state, jbatches[i % args.num_batches], lr, mom)
+        if i == 0:
+            first = {k: float(v) for k, v in metrics.items()}
+            print(f"[step 0] compile+run {time.time() - t_start:.1f}s", flush=True)
+        if i % 25 == 0 or i == args.steps - 1:
+            print(f"[step {i}] loss {float(metrics['loss']):.3f} "
+                  f"vote {float(metrics['vote_loss']):.3f} "
+                  f"obj {float(metrics['objectness_loss']):.3f} "
+                  f"box {float(metrics['box_loss']):.3f} "
+                  f"obj_acc {float(metrics['obj_acc']):.3f}", flush=True)
+    steps_per_sec = (args.steps - 1) / (time.time() - t_start)
+    print(f"train throughput ~{steps_per_sec * args.batch_size:.2f} scenes/s "
+          f"({steps_per_sec:.2f} steps/s)", flush=True)
+
+    # held-out synthetic batch -> detection mAP
+    eval_step = make_eval_step(cfg, model)
+    out = eval_step(state, jbatches[-1])
+    parsed = jax.device_get(parse_predictions_device(out))
+    preds = assemble_pred_map_cls(np.asarray(out["bbox_corner"]), parsed)
+    gts = parse_groundtruths(batches[-1])
+    calc = APCalculator(0.25)
+    calc.step(preds, gts)
+    m = calc.compute_metrics()
+    last = {k: float(v) for k, v in metrics.items()}
+    print(f"final: loss {first['loss']:.2f} -> {last['loss']:.2f}; "
+          f"mAP@0.25 = {m['mAP']:.4f}, AR = {m['AR']:.4f}")
+    assert last["loss"] < first["loss"], "loss did not decrease"
+    assert m["mAP"] > 0, "mAP is zero"
+    print("milestone check passed")
+
+
+if __name__ == "__main__":
+    main()
