@@ -73,12 +73,14 @@ def main():
         if i == 0:
             first = {k: float(v) for k, v in metrics.items()}
             print(f"[step 0] compile+run {time.time() - t_start:.1f}s", flush=True)
+            t_start = time.time()  # exclude compile from throughput
         if i % 25 == 0 or i == args.steps - 1:
             print(f"[step {i}] loss {float(metrics['loss']):.3f} "
                   f"vote {float(metrics['vote_loss']):.3f} "
                   f"obj {float(metrics['objectness_loss']):.3f} "
                   f"box {float(metrics['box_loss']):.3f} "
                   f"obj_acc {float(metrics['obj_acc']):.3f}", flush=True)
+    float(metrics["loss"])  # drain the async queue before timing
     steps_per_sec = (args.steps - 1) / (time.time() - t_start)
     print(f"train throughput ~{steps_per_sec * args.batch_size:.2f} scenes/s "
           f"({steps_per_sec:.2f} steps/s)", flush=True)
