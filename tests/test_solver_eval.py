@@ -116,3 +116,17 @@ def test_postprocess_and_score():
     assert cider[0] >= 0
     assert 0 <= rouge[0] <= 1
     assert 0 <= meteor[0] <= 1
+
+
+def test_schedules():
+    from scan2cap_tpu.train.schedules import multistep_lr, bn_momentum
+    # MultiStepLR([80,120,160], 0.1) (scripts/train.py:152-156)
+    assert multistep_lr(1e-3, 0) == 1e-3
+    assert abs(multistep_lr(1e-3, 80) - 1e-4) < 1e-12
+    assert abs(multistep_lr(1e-3, 130) - 1e-5) < 1e-12
+    assert abs(multistep_lr(1e-3, 200) - 1e-6) < 1e-12
+    # BN momentum 0.5 * 0.5**(epoch//20), floored at 0.001
+    assert bn_momentum(0) == 0.5
+    assert bn_momentum(20) == 0.25
+    assert bn_momentum(45) == 0.125
+    assert bn_momentum(1000) == 0.001
