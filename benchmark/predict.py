@@ -84,8 +84,8 @@ def predict_caption(args):
     example = {k: jnp.asarray(v) for k, v in example.items()}
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore(
-        "best", {"params": state.params, "batch_stats": state.batch_stats})
+    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        {"params": state.params, "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
     eval_step = make_eval_step(cfg, model, detection_loss=False)

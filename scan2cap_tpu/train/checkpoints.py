@@ -61,3 +61,8 @@ class CheckpointIO:
     def exists(self, name: str) -> bool:
         path = self._path(name)
         return os.path.exists(path) or os.path.exists(path + ".pkl")
+
+    def restore_best_or_last(self, target: Optional[Dict] = None):
+        """best-by-criterion if an eval ever fired, else the last epoch
+        (the reference's model.pth vs model_last.pth pair)."""
+        return self.restore("best" if self.exists("best") else "last", target)

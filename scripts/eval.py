@@ -88,9 +88,11 @@ def evaluate(args):
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
     ckpt = CheckpointIO(os.path.join(folder, "ckpt"))
-    restored = ckpt.restore("last" if args.use_last else "best",
-                            {"params": state.params,
-                             "batch_stats": state.batch_stats})
+    restored = (ckpt.restore("last", {"params": state.params,
+                                     "batch_stats": state.batch_stats})
+                if args.use_last else ckpt.restore_best_or_last(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}))
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
     eval_step = make_eval_step(cfg, model)

@@ -78,9 +78,9 @@ def extract(args):
     example = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     init = jax.jit(model.init, static_argnames=("train",))
     variables = init(jax.random.PRNGKey(0), example, train=False)
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore(
-        "best", {"params": variables["params"],
-                 "batch_stats": variables["batch_stats"]})
+    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]})
 
     @jax.jit
     def forward(batch):

@@ -83,8 +83,8 @@ def extract(args):
     model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
     example = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(0))
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore(
-        "best", {"params": state.params, "batch_stats": state.batch_stats})
+    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        {"params": state.params, "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
     eval_step = make_eval_step(cfg, model)

@@ -76,8 +76,8 @@ def visualize(args):
 
     model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
     state = create_train_state(cfg, model, batch, jax.random.PRNGKey(args.seed))
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore(
-        "best", {"params": state.params, "batch_stats": state.batch_stats})
+    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        {"params": state.params, "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
     out = make_eval_step(cfg, model, detection_loss=False)(state, batch)
