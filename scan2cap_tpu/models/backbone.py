@@ -57,10 +57,19 @@ class PointnetSAModuleVotes(nn.Module):
         if inds is None:
             inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)    # (B, npoint, 3)
+        # in bf16 compute mode, gather the features already narrowed — the
+        # grouped (B, npoint, nsample, 3+C) tensor is the largest intermediate
+        # of the whole pipeline and is consumed by a bf16 matmul anyway
+        # (xyz stays f32 through the ball query for exact hit parity)
+        feats_in = features
+        if self.compute_dtype is not None and features is not None:
+            feats_in = features.astype(jnp.dtype(self.compute_dtype))
         grouped = query_and_group(
-            xyz, new_xyz, features, self.radius, self.nsample,
+            xyz, new_xyz, feats_in, self.radius, self.nsample,
             use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
         )                                     # (B, npoint, nsample, 3+C)
+        if self.compute_dtype is not None:
+            grouped = grouped.astype(jnp.dtype(self.compute_dtype))
         out = SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
                         name="mlp")(grouped, train, bn_momentum)
         new_features = jnp.max(out, axis=2)   # (B, npoint, mlp[-1])

@@ -190,6 +190,26 @@ def train(args):
                     stats[sub] = pre["batch_stats"][sub]
             state = state.replace(params=params, batch_stats=stats)
 
+    start_epoch = 0
+    if args.use_checkpoint:
+        # resume bundle {epoch, params, batch_stats, opt_state, step}
+        # (lib/solver.py:502-510 checkpoint.tar equivalent)
+        from scan2cap_tpu.train.checkpoints import CheckpointIO
+        resume = CheckpointIO(os.path.join(
+            paths.output, args.use_checkpoint, "ckpt")).restore(
+            "resume", {
+                "epoch": np.asarray(0),
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            })
+        state = state.replace(
+            params=resume["params"], batch_stats=resume["batch_stats"],
+            opt_state=resume["opt_state"], step=jnp.asarray(resume["step"]))
+        start_epoch = int(resume["epoch"]) + 1
+        print(f"resumed from {args.use_checkpoint} at epoch {start_epoch}")
+
     train_step = make_train_step(
         cfg, model,
         detection=not args.no_detection,
@@ -235,7 +255,7 @@ def train(args):
         json.dump(info, f, indent=4)
 
     print(f"start training... stamp: {stamp}")
-    solver(args.epoch, args.verbose)
+    solver(max(args.epoch - start_epoch, 0), args.verbose)
 
 
 if __name__ == "__main__":

@@ -82,3 +82,35 @@ def test_train_cli_runs(cli_data):
     assert "loss" in log
     # in-training eval fired (val_step=2, 2 iters/epoch)
     assert "[eval @ iter" in log, log
+
+
+def test_train_cli_resume(cli_data):
+    env = dict(os.environ)
+    env.update({
+        "SCAN2CAP_DATA": str(cli_data / "data"),
+        "SCAN2CAP_OUTPUT": str(cli_data / "outputs"),
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+        "SCAN2CAP_TEST_TINY": "1",
+    })
+    common = [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+              "--batch_size", "2", "--num_points", "512",
+              "--num_proposals", "16", "--verbose", "1", "--val_step", "100",
+              "--no_caption"]
+    res = subprocess.run(common + ["--epoch", "1", "--tag", "resume_a"],
+                         env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    run = next(p.name for p in (cli_data / "outputs").iterdir()
+               if "RESUME_A" in p.name)
+    res = subprocess.run(
+        common + ["--epoch", "2", "--tag", "resume_b",
+                  "--use_checkpoint", run],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "resumed from" in res.stdout
+    run_b = next(p for p in (cli_data / "outputs").iterdir()
+                 if "RESUME_B" in p.name)
+    log = (run_b / "log.txt").read_text()
+    # only the remaining single epoch ran
+    assert "epoch 1 starting..." in log
+    assert "epoch 2 starting..." not in log
