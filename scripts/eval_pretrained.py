@@ -95,8 +95,8 @@ def evaluate(args):
     init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
     variables = init(jax.random.PRNGKey(0), example, use_tf=True,
                      is_eval=False, train=False)
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore(
-        "best", dict(variables))
+    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        dict(variables))
     variables = restored
 
     @jax.jit
@@ -108,33 +108,9 @@ def evaluate(args):
                            "ScanRefer_filtered_organized.json")) as f:
         organized = json.load(f)
 
-    candidates = {}
-    idx2word = ds.vocabulary["idx2word"]
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        jb["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
-        out = eval_step(jb)
-        caps = np.asarray(out["lang_cap"])               # (B, K, T)
-        masks = np.asarray(batch["bbox_mask"])
-        obj_ids = np.asarray(batch["scene_object_ids"])
-        if mode == "votenet":
-            ious = np.asarray(box3d_iou_batch(
-                jb["bbox_corner"],
-                jb["ref_box_corner_label"][:, None]))    # crude gate
-        for b in range(caps.shape[0]):
-            scene_id = ds.scanrefer[int(batch["dataset_idx"][b])]["scene_id"]
-            for k in range(caps.shape[1]):
-                if masks[b, k] != 1:
-                    continue
-                object_id = str(int(obj_ids[b, k]))
-                try:
-                    ann_list = list(organized[scene_id][object_id].keys())
-                    object_name = organized[scene_id][object_id][
-                        ann_list[0]]["object_name"]
-                except KeyError:
-                    continue
-                key = f"{scene_id}|{object_id}|{object_name}"
-                candidates[key] = [decode_caption(caps[b, k], idx2word)]
+    from scan2cap_tpu.eval.eval_pretrained import feed_pretrained_cap
+    candidates = feed_pretrained_cap(
+        eval_step, ds, loader, organized, mode=mode, min_iou=args.min_iou)
 
     corpus = prepare_corpus(val_entries)
     bleu, cider, rouge, meteor = score_captions(corpus, candidates)

@@ -127,12 +127,55 @@ def train(args):
                 "dist_loss")
         return state, {k: out[k] for k in keys if k in out}
 
+    # in-training caption eval (lib/solver_pretrained.py:283-295) —
+    # wired when the val feature DB + organized json are present
+    eval_fn = None
+    val_db = (args.features.replace("train", "val") if args.features else
+              os.path.join(paths.data,
+                           (f"gt_{args.dataset}_features_val.hdf5"
+                            if args.mode == "gt" else
+                            f"votenet_{args.dataset}_predictions_val.hdf5")))
+    organized_path = os.path.join(paths.data,
+                                  "ScanRefer_filtered_organized.json")
+    if os.path.exists(val_db) and os.path.exists(organized_path):
+        from scan2cap_tpu.eval.eval_helper import prepare_corpus
+        from scan2cap_tpu.eval.eval_pretrained import eval_pretrained_cap
+        from scan2cap_tpu.data.dataset import Loader as _Loader
+
+        with open(organized_path) as f:
+            organized = json.load(f)
+        with open(val_path) as f:
+            val_entries = json.load(f)
+        by_scene = {}
+        for d in val_entries:
+            by_scene.setdefault(d["scene_id"], d)
+        eval_entries = [by_scene[s] for s in sorted(by_scene)]
+        ds_cls = PretrainedGTDataset if args.mode == "gt" \
+            else PretrainedVoteNetDataset
+        val_ds = ds_cls(eval_entries, val_db, split="val", glove=glove,
+                        vocab=train_ds.vocabulary, K=K)
+        val_loader = _Loader(val_ds, args.batch_size, shuffle=False,
+                             seed=args.seed, drop_last=False)
+        corpus = prepare_corpus(val_entries)
+
+        def eval_fn(state):
+            @jax.jit
+            def estep(batch):
+                return model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    batch, use_tf=False, is_eval=True, train=False)
+            bleu, cider, rouge, meteor = eval_pretrained_cap(
+                estep, val_ds, val_loader, organized, corpus, mode=args.mode)
+            return {"bleu-4": bleu[0][3], "cider": cider[0],
+                    "rouge": rouge[0], "meteor": meteor[0]}
+
     stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     if args.tag:
         stamp += "_" + args.tag.upper()
     solver = Solver(cfg, model, state, train_step, train_loader,
-                    eval_fn=None, stamp=stamp, criterion=args.criterion,
-                    verbose=args.verbose)
+                    eval_fn=eval_fn, stamp=stamp, criterion=args.criterion,
+                    verbose=args.verbose, val_step=args.val_step)
     with open(os.path.join(solver.output, "info.json"), "w") as f:
         json.dump(dict(vars(args), num_train=len(train_ds)), f, indent=4)
     solver(args.epoch, args.verbose)

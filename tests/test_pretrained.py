@@ -134,3 +134,41 @@ def test_pretrained_hdf5_datasets(tmp_path, rng):
     assert d2["objectness_scores"][5, 0] > 0.99  # padded -> class 0
     assert d2["ref_box_corner_label"].shape == (8, 3)
     assert d2["gt_box_masks"].sum() == 2
+
+
+def test_feed_pretrained_cap(rng, tmp_path):
+    """feed_pretrained_cap assembles candidates keyed by stored object ids."""
+    import jax
+    from scan2cap_tpu.eval.eval_pretrained import feed_pretrained_cap
+
+    vocab = make_vocab(num_vocabs=32)
+    batch = _gt_batch(rng, vocab)
+    model = CapNetPretrained(CFG, mode="gt", num_vocabs=32)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    class DS:
+        vocabulary = vocab
+        emb_table = vocab["emb_table"]
+        scanrefer = [{"scene_id": "scene0000_00"},
+                     {"scene_id": "scene0001_00"}]
+
+    loader = [{
+        **{k: np.asarray(v) for k, v in batch.items()},
+        "bbox_mask": np.concatenate(
+            [np.ones((2, 4), np.int32), np.zeros((2, 12), np.int32)], 1),
+        "scene_object_ids": np.tile(np.arange(16, dtype=np.int32), (2, 1)),
+        "dataset_idx": np.arange(2, dtype=np.int32),
+    }]
+    organized = {
+        s: {str(o): {"0": {"object_name": "chair"}} for o in range(4)}
+        for s in ("scene0000_00", "scene0001_00")}
+
+    @jax.jit
+    def estep(b):
+        return model.apply(variables, b, use_tf=False, is_eval=True,
+                           train=False)
+
+    cands = feed_pretrained_cap(estep, DS(), loader, organized, mode="gt")
+    # 2 scenes x 4 valid boxes with organized entries
+    assert len(cands) == 8
+    assert all(v[0].startswith("sos") for v in cands.values())
