@@ -69,3 +69,20 @@ def nms_3d(corners: jax.Array, scores: jax.Array, classes: jax.Array,
     fn = functools.partial(_nms_single, iou_threshold=iou_threshold,
                            same_cls=same_cls)
     return jax.vmap(fn)(corners, scores, classes)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_2d(corners: jax.Array, scores: jax.Array,
+           iou_threshold: float = 0.25) -> jax.Array:
+    """Birds-eye (x/y footprint) greedy NMS — utils/nms.py:28-58
+    nms_2d_faster over the box extents, class-agnostic.
+
+    corners (B, K, 8, 3), scores (B, K) -> (B, K) bool keep mask.
+    """
+    # flatten the up axis so the AABB IoU degenerates to the 2D footprint
+    flat = corners.at[..., 2].set(0.0)
+    flat = flat.at[..., 0::2, 2].set(1.0)  # unit height for a valid volume
+    classes = jnp.zeros(scores.shape, jnp.int32)
+    fn = functools.partial(_nms_single, iou_threshold=iou_threshold,
+                           same_cls=False)
+    return jax.vmap(fn)(flat, scores, classes)

@@ -118,3 +118,15 @@ def test_assemble_pred_map_cls():
     # only proposal 0 passes mask∧conf; expanded over 18 classes
     assert len(out[0]) == C
     assert abs(out[0][0][2] - 0.9 / C) < 1e-9
+
+
+def test_nms_2d_footprint():
+    from scan2cap_tpu.ops.nms import nms_2d
+    # same x/y footprint, different heights -> 2D NMS suppresses the lower score
+    a = _corners([0, 0, 0], [1, 1, 1])
+    b = _corners([0, 0, 5], [1, 1, 6])
+    c = _corners([3, 3, 0], [4, 4, 1])
+    corners = np.stack([a, b, c])[None].astype(np.float32)
+    scores = np.array([[0.9, 0.8, 0.7]], np.float32)
+    keep = np.asarray(nms_2d(jnp.asarray(corners), jnp.asarray(scores)))
+    np.testing.assert_array_equal(keep[0], [True, False, True])
