@@ -46,7 +46,7 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     # indices are non-differentiable (pointnet2_utils.py:72-77); cut tangents
     # before the kernel — pallas_call has no JVP rule
     xyz = jax.lax.stop_gradient(xyz)
-    if jax.default_backend() == "tpu" and xyz.shape[1] >= 1024:
+    if jax.default_backend() == "tpu" and xyz.shape[1] >= 512:
         from scan2cap_tpu.ops.pallas.fps import furthest_point_sample_pallas
         return furthest_point_sample_pallas(xyz, npoint)
     return _furthest_point_sample_xla(xyz, npoint)

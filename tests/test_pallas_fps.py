@@ -23,3 +23,12 @@ def test_pallas_fps_skips_padding(rng):
     assert got.max() < 300
     want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_multi_program(rng):
+    # B > 8 exercises the multi-scene grid (8 scenes/program, 2 programs)
+    xyz = rng.randn(10, 1100, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True))
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 48))
+    np.testing.assert_array_equal(got, want)
