@@ -329,6 +329,78 @@ class TopDownSceneCaptionModule(nn.Module):
         d["good_bbox_masks"] = good
         return d
 
+    def _decode_scene(
+        self,
+        tgt: jax.Array,             # (B, kc, C) target features
+        shared_mapped: jax.Array,   # (B, K, H) = map_feat(bbox_feature)
+        obj_feats: jax.Array,       # (B, K, C)
+        valid: jax.Array,           # (B, kc, K)
+        onehot_nbr,                 # (B, kc, L, K) 0/1 or None
+        nbr_base,                   # (B, kc, L, H) shared[nbr]+map_feat(rel)
+        rel,                        # (B, kc, L, C) or None
+        first_input: jax.Array,     # (B, kc, emb)
+        emb_table: jax.Array,
+        num_steps: int,
+    ) -> jax.Array:
+        """All-proposals eval decode without the (N, K, H) blowup.
+
+        The reference materializes per-target copies of every proposal's
+        attention projection (map_feat of obj+relation, recomputed per step,
+        caption_module.py:275-283,529-585); at K=256 targets that tensor is
+        (B·kc, K, H) and re-reading it every step makes decoding memory
+        bound.  map_feat is linear and relation features touch only the L
+        neighbor slots, so attention decomposes into the SHARED (B, K, H)
+        projection plus per-target corrections on L slots, mixed in via a
+        0/1 one-hot einsum (no scatter/gather inside the scan).  Same math
+        up to f32 reassociation."""
+        B, kc, C = tgt.shape
+        H = self.hidden_size
+        # attend is Dense(1, no bias): eye probe recovers its kernel so the
+        # score reduce can be written as sum(tanh(...) * w) — a form XLA
+        # reliably fuses (Dense on a (B,kc,K,H) tanh would materialize it)
+        w = self.attend(jnp.eye(H, dtype=tgt.dtype))[:, 0]          # (H,)
+        neg_mask = jnp.where(valid == 0, -1e30, 0.0)                # (B,kc,K)
+        covered = (jnp.sum(onehot_nbr, axis=2)
+                   if onehot_nbr is not None else None)             # (B,kc,K)
+        h1 = jnp.zeros((B, kc, H), tgt.dtype)
+        h2 = jnp.zeros((B, kc, H), tgt.dtype)
+
+        def step(carry, t):
+            h1, h2, prev = carry
+            x = jnp.concatenate([prev, h2, tgt], axis=-1)
+            x = nn.relu(self.map_topdown(x))
+            h1n = self.recurrent_cell_1(x, h1)                      # (B,kc,H)
+            hproj = self.map_hidd(h1n)
+            scores = jnp.sum(
+                jnp.tanh(shared_mapped[:, None] + hproj[:, :, None]) * w,
+                axis=-1)                                            # (B,kc,K)
+            if onehot_nbr is not None:
+                s_nbr = jnp.sum(
+                    jnp.tanh(nbr_base + hproj[:, :, None]) * w, axis=-1)
+                corr = jnp.einsum("btl,btlk->btk", s_nbr, onehot_nbr)
+                scores = jnp.where(covered > 0, corr, scores)
+            attn = jax.nn.softmax(scores + neg_mask, axis=-1)
+            attended = jnp.einsum("btk,bkc->btc", attn, obj_feats)
+            if onehot_nbr is not None:
+                attn_nbr = jnp.einsum("btk,btlk->btl", attn, onehot_nbr)
+                attended = attended + jnp.sum(
+                    attn_nbr[..., None] * rel, axis=2)
+            lang_in = nn.relu(self.map_lang(
+                jnp.concatenate([attended, h1n], axis=-1)))
+            h2n = self.recurrent_cell_2(lang_in, h2)
+            logits = self.classifier(h2n)
+            tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
+            nxt = emb_table[tokens]
+            return (h1n, h2n, nxt), tokens
+
+        if self.is_initializing():
+            step((h1, h2, first_input), jnp.asarray(0))
+            return jnp.zeros((B, kc, num_steps), jnp.int32)
+
+        (_, _, _), outs = jax.lax.scan(
+            step, (h1, h2, first_input), jnp.arange(num_steps))
+        return jnp.transpose(outs, (1, 2, 0))         # (T,B,kc) -> (B,kc,T)
+
     def forward_scene_batch(self, data_dict: dict) -> dict:
         d = dict(data_dict)
         word_embs = d["lang_feat"]
@@ -347,34 +419,34 @@ class TopDownSceneCaptionModule(nn.Module):
                 self.query_mode, include_self=True,
                 overlay_threshold=self.overlay_threshold)
 
-        def decode_chunk(s: int, kc: int):
-            tgt = obj_feats[:, s:s + kc]              # (B, kc, C)
-            valid = all_valid[:, s:s + kc]            # (B, kc, K)
-            if self.use_relation:
-                rel = d["edge_feature"][:, s:s + kc]  # (B, kc, L, C)
-                nbr = d["edge_nbr_idx"][:, s:s + kc]  # (B, kc, L)
-                scattered = jnp.zeros((B, kc, K, C), obj_feats.dtype)
-                b_ix = jnp.arange(B)[:, None, None]
-                p_ix = jnp.arange(kc)[None, :, None]
-                scattered = scattered.at[b_ix, p_ix, nbr].set(rel)
-                feats = obj_feats[:, None, :, :] + scattered   # (B, kc, K, C)
-            else:
-                feats = jnp.broadcast_to(
-                    obj_feats[:, None, :, :], (B, kc, K, C))
-
-            N = B * kc
-            feats_f = feats.reshape(N, K, C)
-            tokens, _ = self._decode(
-                tgt.reshape(N, C), feats_f, self.map_feat(feats_f),
-                valid.reshape(N, K),
-                jnp.repeat(sos[:, None], kc, axis=1).reshape(N, -1),
-                None, emb_table, T_dec, False)
-            return tokens.reshape(B, kc, T_dec)
+        shared_mapped = self.map_feat(obj_feats)      # (B, K, H)
+        if self.use_relation:
+            rel_all = d["edge_feature"]               # (B, K, L, C)
+            nbr_all = d["edge_nbr_idx"]               # (B, K, L)
+            L = nbr_all.shape[-1]
+            # map_feat is linear (no bias): map_feat(obj + scatter(rel)) ==
+            # shared + scatter(map_feat(rel)); neighbor slots are the only
+            # corrected ones
+            delta = self.map_feat(rel_all)            # (B, K, L, H)
+            sh_nbr = jnp.take_along_axis(
+                shared_mapped, nbr_all.reshape(B, K * L)[..., None], axis=1
+            ).reshape(B, K, L, -1)
+            nbr_base_all = sh_nbr + delta
+            onehot_all = jax.nn.one_hot(
+                nbr_all, K, dtype=obj_feats.dtype)    # (B, K, L, K)
 
         chunks = []
         for s in range(0, K, self.eval_chunk):
             kc = min(self.eval_chunk, K - s)
-            chunks.append(decode_chunk(s, kc))
+            sl = slice(s, s + kc)
+            chunks.append(self._decode_scene(
+                obj_feats[:, sl], shared_mapped, obj_feats,
+                all_valid[:, sl],
+                onehot_all[:, sl] if self.use_relation else None,
+                nbr_base_all[:, sl] if self.use_relation else None,
+                rel_all[:, sl] if self.use_relation else None,
+                jnp.broadcast_to(sos[:, None], (B, kc, sos.shape[-1])),
+                emb_table, T_dec))
         d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec) tokens
         d["valid_masks"] = all_valid
         return d

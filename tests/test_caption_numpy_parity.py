@@ -130,3 +130,81 @@ def test_vanilla_decoder_matches_reference_equations(rng):
         outs.append(_dense(p["classifier"], h))
     want = np.stack(outs, 1)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def topdown_eval_reference_numpy(p, emb_table, sos, obj_feats, rel, nbr,
+                                 valid_masks, num_steps):
+    """Eval scene decode (caption_module.py:502-592): per target, relation
+    features scattered onto neighbor slots, argmax -> GloVe feedback."""
+    B, K, C = obj_feats.shape
+    H = np.asarray(p["recurrent_cell_1"]["hh"]["kernel"]).shape[0]
+    L = nbr.shape[-1]
+    tokens = np.zeros((B, K, num_steps), np.int32)
+    for b in range(B):
+        for t in range(K):
+            feats = obj_feats[b].copy()               # (K, C)
+            for l in range(L):
+                feats[nbr[b, t, l]] = obj_feats[b, nbr[b, t, l]] + rel[b, t, l]
+            h1 = np.zeros((H,), np.float32)
+            h2 = np.zeros((H,), np.float32)
+            prev = sos[b]
+            for s in range(num_steps):
+                x = np.concatenate([prev, h2, obj_feats[b, t]], -1)
+                x = np.maximum(_dense(p["map_topdown"], x), 0)
+                h1 = _gru(p["recurrent_cell_1"], x[None], h1[None])[0]
+                combined = np.tanh(
+                    _dense(p["map_feat"], feats)
+                    + _dense(p["map_hidd"], h1)[None, :])
+                scores = _dense(p["attend"], combined)[:, 0]   # (K,)
+                scores = np.where(valid_masks[b, t] == 0, -1e30, scores)
+                e = np.exp(scores - scores.max())
+                attn = e / e.sum()
+                attended = (feats * attn[:, None]).sum(0)
+                lang = np.concatenate([attended, h1], -1)
+                lang = np.maximum(_dense(p["map_lang"], lang), 0)
+                h2 = _gru(p["recurrent_cell_2"], lang[None], h2[None])[0]
+                logits = _dense(p["classifier"], h2)
+                tok = int(np.argmax(logits))
+                tokens[b, t, s] = tok
+                prev = emb_table[tok]
+    return tokens
+
+
+def test_topdown_eval_scene_decode_matches_reference_equations(rng):
+    # exercises the shared-projection + neighbor-correction decomposition
+    B, K, C, V, T, L = 2, 6, 16, 12, 4, 2
+    module = TopDownSceneCaptionModule(
+        num_vocabs=V, emb_size=10, feat_size=C, hidden_size=20,
+        num_proposals=K, num_locals=-1, max_des_len=T, min_iou=-1.0,
+        use_relation=True, eval_chunk=4)              # kc=4 + tail chunk of 2
+
+    word_embs = rng.randn(B, T + 2, 10).astype(np.float32)
+    obj_feats = rng.randn(B, K, C).astype(np.float32)
+    valid = np.ones((B, K), np.float32)
+    corners = rng.rand(B, K, 8, 3).astype(np.float32)
+    rel = rng.randn(B, K, L, C).astype(np.float32)
+    # distinct neighbor slots per target (query_locals_dense guarantees this)
+    nbr = np.stack([np.stack(
+        [rng.permutation(K)[:L] for _ in range(K)]) for _ in range(B)]
+    ).astype(np.int32)
+    emb_table = rng.randn(V, 10).astype(np.float32)
+
+    d = {
+        "lang_feat": jnp.asarray(word_embs),
+        "bbox_feature": jnp.asarray(obj_feats),
+        "bbox_mask": jnp.asarray(valid),
+        "bbox_corner": jnp.asarray(corners),
+        "ref_box_corner_label": jnp.asarray(corners[:, 0]),
+        "edge_feature": jnp.asarray(rel),
+        "edge_nbr_idx": jnp.asarray(nbr),
+        "glove_emb_table": jnp.asarray(emb_table),
+    }
+    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True,
+                            is_eval=False)
+    out = module.apply(variables, d, use_tf=False, is_eval=True)
+    got = np.asarray(out["lang_cap"])                 # (B, K, T-1) token ids
+
+    want = topdown_eval_reference_numpy(
+        jax.tree.map(np.asarray, variables["params"]), emb_table,
+        word_embs[:, 0], obj_feats, rel, nbr, valid, T - 1)
+    np.testing.assert_array_equal(got, want)
