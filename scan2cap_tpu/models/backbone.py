@@ -25,8 +25,10 @@ from flax import linen as nn
 
 from scan2cap_tpu.models.layers import SharedMLP
 from scan2cap_tpu.ops import (
+    ball_query,
     furthest_point_sample,
     gather_points,
+    group_points,
     query_and_group,
     three_nn,
     three_interpolate,
@@ -57,21 +59,48 @@ class PointnetSAModuleVotes(nn.Module):
         if inds is None:
             inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)    # (B, npoint, 3)
-        # in bf16 compute mode, gather the features already narrowed — the
-        # grouped (B, npoint, nsample, 3+C) tensor is the largest intermediate
-        # of the whole pipeline and is consumed by a bf16 matmul anyway
-        # (xyz stays f32 through the ball query for exact hit parity)
         feats_in = features
         if self.compute_dtype is not None and features is not None:
             feats_in = features.astype(jnp.dtype(self.compute_dtype))
-        grouped = query_and_group(
-            xyz, new_xyz, feats_in, self.radius, self.nsample,
-            use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
-        )                                     # (B, npoint, nsample, 3+C)
-        if self.compute_dtype is not None:
-            grouped = grouped.astype(jnp.dtype(self.compute_dtype))
-        out = SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
-                        name="mlp")(grouped, train, bn_momentum)
+        mlp_mod = SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
+                            name="mlp")
+
+        in_width = 3 + (features.shape[-1] if features is not None else 0)
+        if self.use_xyz and in_width > self.mlp[0]:
+            # Gather-lean path.  TPU gathers cost ~constant per ROW, so
+            # gathering the (3+C)-wide raw features (2 register tiles at sa1)
+            # is the single most expensive op of the backbone.  The MLP's
+            # first layer is a bias-free linear (BN absorbs the bias), so
+            # Dense_0([xyz_j - xyz_c; f_j]) == Dense_0([xyz_j; f_j]) -
+            # Dense_0([xyz_c; 0]): project ALL source points once (dense
+            # matmul), gather the narrow (mlp[0]-wide, one tile) projection,
+            # and subtract the centers' projected-xyz term.  Same math as
+            # pointnet2_modules.py:210-272 up to f32 reassociation.  Only
+            # worth it when the projection is NARROWER than the input (xyz-
+            # only configs gather 4ch raw rows — keep those as-is).
+            idx = ball_query(xyz, new_xyz, self.radius, self.nsample)
+            scale = 1.0 / self.radius if self.normalize_xyz else 1.0
+            xyz_s = (xyz * scale).astype(
+                feats_in.dtype if feats_in is not None else xyz.dtype)
+            cat = (jnp.concatenate([xyz_s, feats_in], axis=-1)
+                   if feats_in is not None else xyz_s)
+            proj = mlp_mod.project_first(cat)            # (B, N, w0)
+            ct_in = (new_xyz * scale).astype(xyz_s.dtype)
+            if feats_in is not None:
+                ct_in = jnp.concatenate(
+                    [ct_in, jnp.zeros(ct_in.shape[:-1] + (feats_in.shape[-1],),
+                                      xyz_s.dtype)], axis=-1)
+            ct = mlp_mod.project_first(ct_in)            # (B, npoint, w0)
+            g = group_points(proj, idx) - ct[:, :, None, :]
+            out = mlp_mod.from_first(g, train, bn_momentum)
+        else:
+            grouped = query_and_group(
+                xyz, new_xyz, feats_in, self.radius, self.nsample,
+                use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
+            )                                 # (B, npoint, nsample, [3+]C)
+            if self.compute_dtype is not None:
+                grouped = grouped.astype(jnp.dtype(self.compute_dtype))
+            out = mlp_mod(grouped, train, bn_momentum)
         new_features = jnp.max(out, axis=2)   # (B, npoint, mlp[-1])
         return new_xyz, new_features, inds
 

@@ -67,17 +67,42 @@ class SharedMLP(nn.Module):
     activation: bool = True  # relu after every layer (reference behavior)
     compute_dtype: Optional[str] = None
 
-    @nn.compact
+    def setup(self):
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        self.denses = [
+            nn.Dense(w, use_bias=not self.bn, dtype=dtype, name=f"dense_{i}")
+            for i, w in enumerate(self.features)]
+        self.bns = ([BatchNorm(w, name=f"bn_{i}")
+                     for i, w in enumerate(self.features)]
+                    if self.bn else [])
+
+    def _post(self, x: jax.Array, i: int, train: bool,
+              bn_momentum) -> jax.Array:
+        if self.bn:
+            x = self.bns[i](x, train, bn_momentum)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
     def __call__(self, x: jax.Array, train: bool = True,
                  bn_momentum: jax.Array | float = 0.1) -> jax.Array:
-        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        for i, width in enumerate(self.features):
-            x = nn.Dense(width, use_bias=not self.bn, dtype=dtype,
-                         name=f"dense_{i}")(x)
-            if self.bn:
-                x = BatchNorm(width, name=f"bn_{i}")(x, train, bn_momentum)
-            if self.activation:
-                x = nn.relu(x)
+        for i in range(len(self.features)):
+            x = self._post(self.denses[i](x), i, train, bn_momentum)
+        return x
+
+    def project_first(self, x: jax.Array) -> jax.Array:
+        """Layer-0 linear only (no BN/ReLU).  With bn=True it is bias-free,
+        so callers may decompose Dense(a + b) == Dense(a) + Dense(b) —
+        used by the SA layers to project source points once and gather the
+        projection instead of the (wider) raw features."""
+        return self.denses[0](x)
+
+    def from_first(self, x: jax.Array, train: bool = True,
+                   bn_momentum: jax.Array | float = 0.1) -> jax.Array:
+        """Finish the stack given layer-0 PRE-activation values."""
+        x = self._post(x, 0, train, bn_momentum)
+        for i in range(1, len(self.features)):
+            x = self._post(self.denses[i](x), i, train, bn_momentum)
         return x
 
 

