@@ -65,10 +65,14 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
     """new_xyz: (M, 3), xyz: (N, 3) -> (M, nsample) int32."""
     M = new_xyz.shape[0]
     N = xyz.shape[0]
-    # broadcast-diff form: XLA fuses it without materializing (M, N, 3), and
-    # it matches the CUDA kernel's f32 arithmetic exactly (a |c|²-2cx+|x|²
-    # matmul form benches the same but loses boundary-precision parity)
-    d2 = jnp.sum((new_xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)  # (M,N)
+    # coordinate-wise diff form: same f32 arithmetic/order as the CUDA kernel
+    # (a |c|²-2cx+|x|² matmul form loses boundary-precision parity), but as
+    # three (M, N) elementwise passes — a jnp.sum over a stacked (M, N, 3)
+    # reduces over a 3-wide minor axis, wasting 125 of 128 lanes (2x slower)
+    dx = new_xyz[:, None, 0] - xyz[None, :, 0]
+    dy = new_xyz[:, None, 1] - xyz[None, :, 1]
+    dz = new_xyz[:, None, 2] - xyz[None, :, 2]
+    d2 = dx * dx + dy * dy + dz * dz                                 # (M,N)
     hit = d2 < radius2
 
     if mode == "approx" and nsample <= N and N >= 4096:
