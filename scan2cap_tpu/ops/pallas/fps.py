@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 8          # sublane rows per scene
-_SCENES = 8        # scenes per program (sublane axis = _ROWS * _SCENES)
+_SCENES = 8        # scenes per program (sublane axis = _ROWS * _SCENES; 16 OOMs VMEM)
 
 
 def _roll_rows(v: jax.Array, shift: int) -> jax.Array:
