@@ -101,6 +101,20 @@ def _gather_targets(x: jax.Array, target_ids: jax.Array) -> jax.Array:
     return jnp.take_along_axis(x, target_ids[:, None, None], axis=1)[:, 0]
 
 
+def _shard_targets(x: jax.Array) -> jax.Array:
+    """Proposal-axis (tensor) parallelism hook for the eval decode: when an
+    ambient mesh (jax.set_mesh) has a "model" axis, constrain the target-
+    chunk axis (dim 1 of (B, kc, ...)) onto it so each device decodes its
+    slice of the 256 proposals — the decode is independent per target; the
+    shared (B, K, *) attention tables stay replicated.  No-op otherwise."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "model" not in getattr(mesh, "axis_names", ()):
+        return x
+    spec = jax.sharding.PartitionSpec(
+        *([None, "model"] + [None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class SceneCaptionModule(nn.Module):
     """Vanilla GRU decoder (caption_module.py:40-200)."""
 
@@ -440,11 +454,11 @@ class TopDownSceneCaptionModule(nn.Module):
             kc = min(self.eval_chunk, K - s)
             sl = slice(s, s + kc)
             chunks.append(self._decode_scene(
-                obj_feats[:, sl], shared_mapped, obj_feats,
-                all_valid[:, sl],
-                onehot_all[:, sl] if self.use_relation else None,
-                nbr_base_all[:, sl] if self.use_relation else None,
-                rel_all[:, sl] if self.use_relation else None,
+                _shard_targets(obj_feats[:, sl]), shared_mapped, obj_feats,
+                _shard_targets(all_valid[:, sl]),
+                _shard_targets(onehot_all[:, sl]) if self.use_relation else None,
+                _shard_targets(nbr_base_all[:, sl]) if self.use_relation else None,
+                _shard_targets(rel_all[:, sl]) if self.use_relation else None,
                 jnp.broadcast_to(sos[:, None], (B, kc, sos.shape[-1])),
                 emb_table, T_dec))
         d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec) tokens
