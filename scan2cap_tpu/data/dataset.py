@@ -33,7 +33,8 @@ from scan2cap_tpu.config import (
 from scan2cap_tpu.data.vocab import (
     build_embedding_table, build_vocabulary, encode_caption, load_glove,
 )
-from scan2cap_tpu.utils.pc_utils import random_sampling, rotx, roty, rotz
+from scan2cap_tpu import native
+from scan2cap_tpu.utils.pc_utils import rotx, roty, rotz
 
 
 def _get_3d_box_batch_np(sizes, headings, centers):
@@ -193,8 +194,13 @@ class ScannetReferenceDataset:
             point_cloud = np.concatenate(
                 [point_cloud, (point_cloud[:, 2] - floor)[:, None]], 1)
 
-        point_cloud, choices = random_sampling(
-            point_cloud, self.num_points, return_choices=True, rs=rng)
+        # index draw stays in numpy (reproducible); the wide row gather and
+        # the other per-sample hot loops below run in the native data plane
+        # (scan2cap_tpu/native, C++ with numpy fallbacks)
+        replace = point_cloud.shape[0] < self.num_points
+        choices = rng.choice(point_cloud.shape[0], self.num_points,
+                             replace=replace)
+        point_cloud = native.sample_gather(point_cloud, choices)
         instance_labels = instance_labels[choices]
         semantic_labels = semantic_labels[choices]
 
@@ -220,33 +226,31 @@ class ScannetReferenceDataset:
 
         # ---- augmentation (lib/dataset.py:395-425) ----
         if self.augment:
-            if rng.random_sample() > 0.5:
-                point_cloud[:, 0] = -point_cloud[:, 0]
+            flip_yz = bool(rng.random_sample() > 0.5)
+            if flip_yz:
                 target_bboxes[:, 0] = -target_bboxes[:, 0]
-            if rng.random_sample() > 0.5:
-                point_cloud[:, 1] = -point_cloud[:, 1]
+            flip_xz = bool(rng.random_sample() > 0.5)
+            if flip_xz:
                 target_bboxes[:, 1] = -target_bboxes[:, 1]
+            rot_total = np.eye(3)
             for rot_fn, axis in ((rotx, "x"), (roty, "y"), (rotz, "z")):
                 angle = rng.random_sample() * np.pi / 18 - np.pi / 36  # ±5°
                 rot = rot_fn(angle)
-                point_cloud[:, 0:3] = point_cloud[:, 0:3] @ rot.T
+                rot_total = rot @ rot_total   # applied x->y->z, like the loop
                 target_bboxes = rotate_aligned_boxes_along_axis(
                     target_bboxes, rot, axis)
             # translation ±0.5 m (lib/dataset.py:_translate)
             factor = rng.choice(np.arange(-0.5, 0.501, 0.001), size=3)
-            point_cloud[:, 0:3] += factor
             target_bboxes[:, 0:3] += factor
+            # flips + composed rotation + translation on the points in one
+            # native pass (box math above is tiny and stays in numpy)
+            point_cloud = native.augment_points(
+                point_cloud, flip_yz, flip_xz, rot_total, factor)
 
         # ---- votes AFTER augmentation (lib/dataset.py:427-442) ----
-        point_votes = np.zeros([self.num_points, 3])
-        point_votes_mask = np.zeros(self.num_points)
-        for i_instance in np.unique(instance_labels):
-            ind = np.where(instance_labels == i_instance)[0]
-            if semantic_labels[ind[0]] in SCANNET_NYU40IDS:
-                x = point_cloud[ind, :3]
-                center = 0.5 * (x.min(0) + x.max(0))
-                point_votes[ind] = center - x
-                point_votes_mask[ind] = 1.0
+        care = np.isin(semantic_labels, SCANNET_NYU40IDS)
+        point_votes, point_votes_mask = native.point_votes(
+            point_cloud[:, :3], instance_labels, care)
         point_votes = np.tile(point_votes, (1, 3))
 
         class_ind = [DC_NYU2CLS[int(x)] for x in instance_bboxes[:num_bbox, -2]]
