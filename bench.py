@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SCENES_PER_SEC = 2.0
-BATCH = 16
+BATCH = 32
 STEPS = 8
 NUM_VOCABS = 3433
 
