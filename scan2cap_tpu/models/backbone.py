@@ -66,7 +66,13 @@ class PointnetSAModuleVotes(nn.Module):
                             name="mlp")
 
         in_width = 3 + (features.shape[-1] if features is not None else 0)
-        if self.use_xyz and in_width > self.mlp[0]:
+        # fast path requires: bias-free layer 0 (bn=True) so the linear
+        # decomposition is exact, and f32 compute — in bf16 the decomposition
+        # would quantize ABSOLUTE room-scale coordinates (the replaced
+        # formulation casts only the small relative offsets) and lose ~1% of
+        # the output to cancellation
+        if (self.use_xyz and in_width > self.mlp[0]
+                and self.compute_dtype is None):
             # Gather-lean path.  TPU gathers cost ~constant per ROW, so
             # gathering the (3+C)-wide raw features (2 register tiles at sa1)
             # is the single most expensive op of the backbone.  The MLP's

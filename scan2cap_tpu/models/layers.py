@@ -95,6 +95,9 @@ class SharedMLP(nn.Module):
         so callers may decompose Dense(a + b) == Dense(a) + Dense(b) —
         used by the SA layers to project source points once and gather the
         projection instead of the (wider) raw features."""
+        assert self.bn, ("project_first requires bn=True: with a bias the "
+                         "Dense(a+b) == Dense(a)+Dense(b) decomposition "
+                         "silently drops it")
         return self.denses[0](x)
 
     def from_first(self, x: jax.Array, train: bool = True,

@@ -35,13 +35,25 @@ _tried = False
 
 
 def _build() -> bool:
+    # build to a process-unique temp path and rename atomically — concurrent
+    # processes (training + pytest) must never dlopen a half-written .so
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0 and os.path.exists(_LIB_PATH)
+        if res.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, _LIB_PATH)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -53,9 +53,10 @@ extern "C" {
 // dst[i, :] = src[idx[i], :]
 void s2c_sample_gather(const float* src, const int32_t* idx, float* dst,
                        int64_t n_out, int64_t n_cols, int threads) {
-  parallel_rows(n_out * n_cols, threads, [&](int64_t b, int64_t e) {
-    int64_t rb = b / n_cols, re = (e + n_cols - 1) / n_cols;
-    for (int64_t i = rb; i < re && i < n_out; ++i) {
+  // partition whole rows per thread (element-space splits would hand the
+  // boundary row to two threads — a data race even if the bytes agree)
+  parallel_rows(n_out, threads, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
       std::memcpy(dst + i * n_cols, src + int64_t(idx[i]) * n_cols,
                   sizeof(float) * n_cols);
     }

@@ -1,11 +1,15 @@
 """Microbenchmark the sa1 ball-query hot path on the TPU.
 
-Splits the exact first-k ball query (ops/grouping.py) into its phases to see
-where the time goes:
+Phases:
   dist_count  - distance matrix + hit mask + per-row count reduce (no firstk)
-  exact       - the full exact hierarchical first-k ball query
+  exact       - the current exact ball query (sort-free bitmask+popcount
+                first-k decode; see ops/grouping.py)
   approx      - lax.approx_min_k variant
-  l1_topk     - the level-1 blockwise top_k alone on a precomputed key matrix
+  l1_topk     - the REPLACED algorithm's level-1 blockwise top_k on a
+                precomputed key matrix, kept only for comparison
+
+NOTE: single-dispatch timings here include ~27 ms of tunnel dispatch +
+readback overhead; for honest kernel times repeat in one jit and divide.
 
 Run: PYTHONPATH=/root/.axon_site:. python scripts/micro_ballquery.py
 """
