@@ -96,23 +96,70 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
     words = jnp.sum(bits, axis=-1, dtype=jnp.uint32)           # (M, W)
     pc = jax.lax.population_count(words).astype(jnp.int32)
     cum = jnp.cumsum(pc, axis=-1)                              # inclusive
-    excl = cum - pc                                            # hits before w
-
-    s_ids = jnp.arange(nsample, dtype=jnp.int32)               # (S,)
-    # slot s lives in word w iff excl(w) <= s < cum(w); exactly one word
-    # matches (when s < total hits), so Σ value·I[contains] selects without a
-    # gather, and Σ I[cum<=s] counts the fully-consumed words = word index.
-    le = cum[:, None, :] <= s_ids[None, :, None]               # (M, S, W)
-    contains = jnp.logical_and(excl[:, None, :] <= s_ids[None, :, None],
-                               jnp.logical_not(le))
-    w_idx = jnp.sum(le.astype(jnp.int32), axis=-1)             # (M, S)
-    excl_s = jnp.sum(jnp.where(contains, excl[:, None, :], 0), axis=-1)
-    word_s = jnp.sum(jnp.where(contains, words[:, None, :], jnp.uint32(0)),
-                     axis=-1, dtype=jnp.uint32)
-    bit = _decode_nth_set_bit(word_s, s_ids[None, :] - excl_s)
-    idx = jnp.minimum(w_idx, W - 1) * 32 + bit
-
     total = cum[:, -1:]                                        # (M, 1)
+    s_ids = jnp.arange(nsample, dtype=jnp.int32)               # (S,)
+
+    if W > 128:
+        # Supergroup decode: the one-level (M, S, W) one-hot pass dominates
+        # the whole ball query at sa1 shapes (W=1250: ~12 of 21 ms at B16).
+        # Group Q words into a superword; run the expensive comparisons over
+        # the (M, S, W/Q) supergroup prefix sums, and select the containing
+        # supergroup's Q candidate words with Q masked sums (TPU gathers cost
+        # ~13 ns per slice, so one-hot selection beats take_along_axis here;
+        # a 3-operand lax.sort compaction benches 3x worse).  ~3x fewer ops
+        # than one-level; exact same output.
+        Q = 16
+        WG = -(-W // Q)
+        pad_w = WG * Q - W
+        if pad_w:
+            words = jnp.pad(words, ((0, 0), (0, pad_w)))
+            cum = jnp.pad(cum, ((0, 0), (0, pad_w)), mode="edge")
+        wordsg = words.reshape(M, WG, Q)
+        g_cum = cum[:, Q - 1::Q]                               # (M, WG) incl.
+        g_excl = jnp.concatenate(
+            [jnp.zeros((M, 1), jnp.int32), g_cum[:, :-1]], axis=1)
+
+        le_g = g_cum[:, None, :] <= s_ids[None, :, None]       # (M, S, WG)
+        contains_g = jnp.logical_and(
+            g_excl[:, None, :] <= s_ids[None, :, None],
+            jnp.logical_not(le_g))
+        g_idx = jnp.minimum(jnp.sum(le_g.astype(jnp.int32), axis=-1), WG - 1)
+        gexcl_s = jnp.sum(jnp.where(contains_g, g_excl[:, None, :], 0),
+                          axis=-1)
+        r_s = s_ids[None, :] - gexcl_s                     # rank in supergroup
+        cand = jnp.stack(
+            [jnp.sum(jnp.where(contains_g, wordsg[:, None, :, q],
+                               jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+             for q in range(Q)], axis=-1)                      # (M, S, Q)
+
+        pcq = jax.lax.population_count(cand).astype(jnp.int32)
+        cumq = jnp.cumsum(pcq, axis=-1)                        # in-group incl.
+        le2 = cumq <= r_s[:, :, None]                          # (M, S, Q)
+        contains2 = jnp.logical_and(cumq - pcq <= r_s[:, :, None],
+                                    jnp.logical_not(le2))
+        w_in = jnp.minimum(jnp.sum(le2.astype(jnp.int32), axis=-1), Q - 1)
+        excl2_s = jnp.sum(jnp.where(contains2, cumq - pcq, 0), axis=-1)
+        word_s = jnp.sum(jnp.where(contains2, cand, jnp.uint32(0)),
+                         axis=-1, dtype=jnp.uint32)
+        bit = _decode_nth_set_bit(word_s, r_s - excl2_s)
+        idx = (g_idx * Q + w_in) * 32 + bit
+    else:
+        excl = cum - pc                                        # hits before w
+        # slot s lives in word w iff excl(w) <= s < cum(w); exactly one word
+        # matches (when s < total hits), so Σ value·I[contains] selects
+        # without a gather, and Σ I[cum<=s] counts the fully-consumed words =
+        # word index.
+        le = cum[:, None, :] <= s_ids[None, :, None]           # (M, S, W)
+        contains = jnp.logical_and(excl[:, None, :] <= s_ids[None, :, None],
+                                   jnp.logical_not(le))
+        w_idx = jnp.sum(le.astype(jnp.int32), axis=-1)         # (M, S)
+        excl_s = jnp.sum(jnp.where(contains, excl[:, None, :], 0), axis=-1)
+        word_s = jnp.sum(jnp.where(contains, words[:, None, :],
+                                   jnp.uint32(0)),
+                         axis=-1, dtype=jnp.uint32)
+        bit = _decode_nth_set_bit(word_s, s_ids[None, :] - excl_s)
+        idx = jnp.minimum(w_idx, W - 1) * 32 + bit
+
     # slots past the hit count are padded with the first hit (slot 0); a row
     # with no hit at all keeps the CUDA wrapper's zero-filled output.
     valid = s_ids[None, :] < jnp.minimum(total, nsample)

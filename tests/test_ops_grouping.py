@@ -60,6 +60,39 @@ def test_ball_query_chunked_matches_unchunked(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def ball_query_numpy_fast(xyz, new_xyz, radius, nsample):
+    """Vectorized golden (same semantics as ball_query_numpy) for large N."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    out = np.zeros((B, M, nsample), dtype=np.int32)
+    r2 = radius ** 2
+    for b in range(B):
+        d2 = ((new_xyz[b][:, None, :] - xyz[b][None, :, :]) ** 2).sum(-1)
+        for j in range(M):
+            hits = np.nonzero(d2[j] < r2)[0]
+            if hits.size == 0:
+                continue
+            k = min(hits.size, nsample)
+            out[b, j, :] = hits[0]
+            out[b, j, :k] = hits[:k]
+    return out
+
+
+def test_ball_query_two_level_decode(rng):
+    # N > 4096 routes through the two-level block decode (W > 128); include
+    # dense and sparse regions so blocks straddle hits, padding, and no-hits.
+    N = 9000
+    xyz = rng.rand(2, N, 3).astype(np.float32) * 4.0
+    xyz[0, 5000:5200] = xyz[0, 100]            # dense cluster (> nsample hits)
+    xyz[1, 0] = 50.0                           # isolated: query 0 has no hits
+    new_xyz = np.ascontiguousarray(xyz[:, :40])
+    for radius, nsample in ((0.25, 16), (0.8, 64)):
+        got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz),
+                                    radius, nsample))
+        want = ball_query_numpy_fast(xyz, new_xyz, radius, nsample)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_group_points_and_grad(rng):
     feats = rng.randn(2, 30, 5).astype(np.float32)
     idx = rng.randint(0, 30, size=(2, 4, 3)).astype(np.int32)
