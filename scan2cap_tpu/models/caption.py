@@ -415,6 +415,61 @@ class TopDownSceneCaptionModule(nn.Module):
             step, (h1, h2, first_input), jnp.arange(num_steps))
         return jnp.transpose(outs, (1, 2, 0))         # (T,B,kc) -> (B,kc,T)
 
+    def _decode_scene_local(
+        self,
+        tgt: jax.Array,             # (B, kc, C) target features
+        base_loc: jax.Array,        # (B, kc, L, H) attention base per slot
+        ctx_loc: jax.Array,         # (B, kc, L, C) obj(+rel) per slot
+        first_input: jax.Array,     # (B, kc, emb)
+        emb_table: jax.Array,
+        num_steps: int,
+    ) -> jax.Array:
+        """All-proposals eval decode with attention over the L LOCAL slots
+        only.
+
+        The reference scores every one of the K=256 proposals per target per
+        step and then masks all but the num_locals+self local ones to -1e30
+        (caption_module.py:275-283); exp(-1e30) underflows to exactly 0 in
+        f32, so the masked slots contribute nothing to the softmax or the
+        attended sum.  Gathering the L local slots' projections once per
+        target (outside the scan) and scoring only those is therefore the
+        same math up to f32 reassociation — and shrinks the per-step additive
+        -attention tensor from (B, kc, K, H) to (B, kc, L, H), ~K/L = 25x.
+        Relation corrections (nbr_base = shared + map_feat(rel)) are folded
+        into base_loc/ctx_loc by the caller via index-equality matching."""
+        B, kc, _ = tgt.shape
+        H = self.hidden_size
+        w = self.attend(jnp.eye(H, dtype=tgt.dtype))[:, 0]          # (H,)
+        h1 = jnp.zeros((B, kc, H), tgt.dtype)
+        h2 = jnp.zeros((B, kc, H), tgt.dtype)
+
+        def step(carry, t):
+            h1, h2, prev = carry
+            x = jnp.concatenate([prev, h2, tgt], axis=-1)
+            x = nn.relu(self.map_topdown(x))
+            h1n = self.recurrent_cell_1(x, h1)                      # (B,kc,H)
+            hproj = self.map_hidd(h1n)
+            scores = jnp.sum(
+                jnp.tanh(base_loc + hproj[:, :, None]) * w,
+                axis=-1)                                            # (B,kc,L)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attended = jnp.einsum("btl,btlc->btc", attn, ctx_loc)
+            lang_in = nn.relu(self.map_lang(
+                jnp.concatenate([attended, h1n], axis=-1)))
+            h2n = self.recurrent_cell_2(lang_in, h2)
+            logits = self.classifier(h2n)
+            tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
+            nxt = emb_table[tokens]
+            return (h1n, h2n, nxt), tokens
+
+        if self.is_initializing():
+            step((h1, h2, first_input), jnp.asarray(0))
+            return jnp.zeros((B, kc, num_steps), jnp.int32)
+
+        (_, _, _), outs = jax.lax.scan(
+            step, (h1, h2, first_input), jnp.arange(num_steps))
+        return jnp.transpose(outs, (1, 2, 0))         # (T,B,kc) -> (B,kc,T)
+
     def forward_scene_batch(self, data_dict: dict) -> dict:
         d = dict(data_dict)
         word_embs = d["lang_feat"]
@@ -428,12 +483,57 @@ class TopDownSceneCaptionModule(nn.Module):
         if self.num_locals == -1:
             all_valid = jnp.broadcast_to(object_masks[:, None, :], (B, K, K))
         else:
-            all_valid, _ = query_locals_dense(
+            all_valid, loc_idx = query_locals_dense(
                 d["bbox_corner"], object_masks, self.num_locals,
                 self.query_mode, include_self=True,
                 overlay_threshold=self.overlay_threshold)
 
         shared_mapped = self.map_feat(obj_feats)      # (B, K, H)
+
+        if self.num_locals != -1:
+            # Local-slot eval decode: attention sees exactly the L slots of
+            # loc_idx (every other slot is -1e30-masked in the reference, so
+            # its softmax weight is exactly 0).  Gather their projections and
+            # features once, fold relation corrections in by index matching,
+            # then decode all targets in one scan.
+            L = self.num_locals
+            flat = loc_idx.reshape(B, K * L)
+            sh_loc = jnp.take_along_axis(
+                shared_mapped, flat[..., None], axis=1).reshape(B, K, L, -1)
+            obj_loc = jnp.take_along_axis(
+                obj_feats, flat[..., None], axis=1).reshape(B, K, L, C)
+            if self.use_relation:
+                rel_all = d["edge_feature"]           # (B, K, Le, C)
+                nbr_all = d["edge_nbr_idx"]           # (B, K, Le)
+                # map_feat is linear (no bias): map_feat(obj + scatter(rel))
+                # == shared + scatter(map_feat(rel)); only neighbor slots are
+                # corrected.  match[b,t,l,j] = I[loc_idx==nbr(j)] (nbr rows
+                # are distinct, so at most one j matches per slot).
+                delta = self.map_feat(rel_all)        # (B, K, Le, H)
+                match = (loc_idx[:, :, :, None]
+                         == nbr_all[:, :, None, :]).astype(obj_feats.dtype)
+                sh_loc = sh_loc + jnp.einsum("btlj,btjh->btlh", match, delta)
+                obj_loc = obj_loc + jnp.einsum(
+                    "btlj,btjc->btlc", match, rel_all)
+
+            chunks = []
+            # one scan over all K targets: the per-step working set is only
+            # (B, K, L, ·) so the (B·kc, K, H) memory pressure that forced
+            # eval_chunk on the full-K path is gone
+            step_k = K
+            for s in range(0, K, step_k):
+                kc = min(step_k, K - s)
+                sl = slice(s, s + kc)
+                chunks.append(self._decode_scene_local(
+                    _shard_targets(obj_feats[:, sl]),
+                    _shard_targets(sh_loc[:, sl]),
+                    _shard_targets(obj_loc[:, sl]),
+                    jnp.broadcast_to(sos[:, None], (B, kc, sos.shape[-1])),
+                    emb_table, T_dec))
+            d["lang_cap"] = jnp.concatenate(chunks, axis=1)
+            d["valid_masks"] = all_valid
+            return d
+
         if self.use_relation:
             rel_all = d["edge_feature"]               # (B, K, L, C)
             nbr_all = d["edge_nbr_idx"]               # (B, K, L)

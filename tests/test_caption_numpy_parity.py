@@ -208,3 +208,53 @@ def test_topdown_eval_scene_decode_matches_reference_equations(rng):
         jax.tree.map(np.asarray, variables["params"]), emb_table,
         word_embs[:, 0], obj_feats, rel, nbr, valid, T - 1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_topdown_eval_local_slot_decode_matches_reference_equations(rng):
+    # num_locals > 0 routes through the local-slot decode (attention over the
+    # L gathered local slots instead of -1e30-masking the other K-L of K);
+    # the numpy reference keeps the reference's full-K masked form, with the
+    # module's own valid_masks — exact token equality checks the mask <->
+    # local-slot equivalence including relation corrections.
+    B, K, C, V, T, L, NL = 2, 8, 16, 12, 4, 2, 3
+    module = TopDownSceneCaptionModule(
+        num_vocabs=V, emb_size=10, feat_size=C, hidden_size=20,
+        num_proposals=K, num_locals=NL, max_des_len=T, min_iou=-1.0,
+        use_relation=True)
+
+    word_embs = rng.randn(B, T + 2, 10).astype(np.float32)
+    obj_feats = rng.randn(B, K, C).astype(np.float32)
+    valid = np.ones((B, K), np.float32)
+    valid[1, -2:] = 0                                 # some invalid proposals
+    # well-separated boxes so query_locals picks distinct neighborhoods
+    centers = rng.rand(B, K, 1, 3).astype(np.float32) * 6.0
+    offsets = (np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                    indexing="ij"), -1)
+               .reshape(1, 1, 8, 3).astype(np.float32) * 0.2)
+    corners = centers + offsets
+    rel = rng.randn(B, K, L, C).astype(np.float32)
+    nbr = np.stack([np.stack(
+        [rng.permutation(K)[:L] for _ in range(K)]) for _ in range(B)]
+    ).astype(np.int32)
+    emb_table = rng.randn(V, 10).astype(np.float32)
+
+    d = {
+        "lang_feat": jnp.asarray(word_embs),
+        "bbox_feature": jnp.asarray(obj_feats),
+        "bbox_mask": jnp.asarray(valid),
+        "bbox_corner": jnp.asarray(corners),
+        "ref_box_corner_label": jnp.asarray(corners[:, 0]),
+        "edge_feature": jnp.asarray(rel),
+        "edge_nbr_idx": jnp.asarray(nbr),
+        "glove_emb_table": jnp.asarray(emb_table),
+    }
+    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True,
+                            is_eval=False)
+    out = module.apply(variables, d, use_tf=False, is_eval=True)
+    got = np.asarray(out["lang_cap"])                 # (B, K, T-1) token ids
+    local_masks = np.asarray(out["valid_masks"])      # (B, K, K)
+
+    want = topdown_eval_reference_numpy(
+        jax.tree.map(np.asarray, variables["params"]), emb_table,
+        word_embs[:, 0], obj_feats, rel, nbr, local_masks, T - 1)
+    np.testing.assert_array_equal(got, want)
