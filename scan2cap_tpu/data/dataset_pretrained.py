@@ -84,6 +84,14 @@ class PretrainedGTDataset(_PretrainedBase):
         import h5py
         if self._db is None:
             self._db = h5py.File(self.hdf5_path, "r", libver="latest", swmr=True)
+            # cap the preset-epoch draw to what the database actually holds
+            # (extract_gt_features may have been run with fewer --epoch passes
+            # than the reference's canonical 100)
+            avail = {int(k.split("|", 1)[0]) for k in self._db.keys()
+                     if "|" in k}
+            if avail:
+                self.num_preset_epochs = min(self.num_preset_epochs,
+                                             max(avail) + 1)
         return self._db
 
     def __getitem__(self, idx: int,

@@ -95,9 +95,13 @@ def evaluate(args):
     init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
     variables = init(jax.random.PRNGKey(0), example, use_tf=True,
                      is_eval=False, train=False)
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
-        dict(variables))
-    variables = restored
+    # the solver always checkpoints a batch_stats collection (empty when the
+    # config has no BN layers, e.g. gt mode with num_graph_steps=0) — the
+    # restore target must carry the same structure
+    target = {"params": variables["params"],
+              "batch_stats": dict(variables.get("batch_stats", {}))}
+    variables = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
+        target)
 
     @jax.jit
     def eval_step(batch):

@@ -50,12 +50,17 @@ def extract(args):
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
         info = json.load(f)
+    # same CI shrink knob as scripts/train_maskvotenet.py — the restored
+    # checkpoint's shapes must match the training-time pyramid
+    tiny = dict(sa_npoints=(128, 64, 32, 16)) \
+        if os.environ.get("SCAN2CAP_TEST_TINY") else {}
     mcfg = ModelConfig(
         num_points=info["num_points"], num_proposals=1, max_num_obj=1,
         use_height=not info.get("no_height", False),
         use_color=info.get("use_color", False),
         use_normal=info.get("use_normal", False),
-        use_multiview=info.get("use_multiview", False), no_caption=True)
+        use_multiview=info.get("use_multiview", False), no_caption=True,
+        **tiny)
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")
     val_path = os.path.join(paths.data, f"{args.dataset}_filtered_val.json")

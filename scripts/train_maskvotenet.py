@@ -52,11 +52,15 @@ def train(args):
     from scan2cap_tpu.train.solver import Solver
 
     paths = PathConfig()
+    # CI hook: shrink the SA pyramid so fixture-size scenes run fast on CPU
+    # (same knob as scripts/train.py)
+    tiny = dict(sa_npoints=(128, 64, 32, 16)) \
+        if os.environ.get("SCAN2CAP_TEST_TINY") else {}
     mcfg = ModelConfig(
         num_points=args.num_points, num_proposals=1, max_num_obj=1,
         use_height=not args.no_height, use_color=args.use_color,
         use_normal=args.use_normal, use_multiview=args.use_multiview,
-        no_caption=True)
+        no_caption=True, **tiny)
     cfg = Config(model=mcfg, train=TrainConfig(
         batch_size=args.batch_size, lr=args.lr, wd=args.wd, seed=args.seed))
 

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end pipeline tests")
+
+
 # The env var alone is not enough when a TPU plugin (axon) is present —
 # force the platform through the config as well.
 jax.config.update("jax_platforms", "cpu")

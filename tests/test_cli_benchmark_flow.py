@@ -72,3 +72,16 @@ def test_full_benchmark_flow(cli_data):
     for gate in ("0", "0.25", "0.5"):
         assert gate in results["captioning"]
         assert "f1-score" in results["captioning"][gate]
+
+    # 5. visualization CLI: scene cloud + pred/GT box PLYs + captions json
+    #    (reference scripts/visualize.py)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "visualize.py"),
+         "--folder", run, "--scene_id", "scene0001_00"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    vis_dir = cli_data / "outputs" / run / "vis" / "scene0001_00"
+    assert vis_dir.exists(), list((cli_data / "outputs" / run).iterdir())
+    names = {p.name for p in vis_dir.iterdir()}
+    # pred_boxes.ply only appears when a proposal survives NMS∧objectness
+    assert {"scene.ply", "gt_boxes.ply", "captions.json"} <= names, names
