@@ -151,3 +151,23 @@ def test_end_to_end_loss_and_grads():
                for p, g in flat if float(jnp.abs(g).sum()) > 0}
     for sub in ("backbone_net", "vgen", "proposal", "graph", "caption"):
         assert sub in nonzero, f"no grads in {sub}"
+
+
+def test_softmax_ranking_loss_golden(rng):
+    # lib/loss.py SoftmaxRankingLoss: -mean_B sum_N log(softmax(x)+eps)*y
+    from scan2cap_tpu.losses.ranking import softmax_ranking_loss
+
+    x = rng.randn(4, 6).astype(np.float32)
+    y = np.zeros((4, 6), np.float32)
+    y[np.arange(4), rng.randint(0, 6, 4)] = 1.0
+    y[0, 3] = 1.0                                 # multi-hot row
+    ex = np.exp(x + 1e-8 - (x + 1e-8).max(1, keepdims=True))
+    probs = ex / ex.sum(1, keepdims=True)
+    want = float(np.mean(-np.sum(np.log(probs + 1e-8) * y, axis=1)))
+    got = float(softmax_ranking_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # gradient pushes the target logit up
+    g = jax.grad(lambda a: softmax_ranking_loss(a, jnp.asarray(y)))(
+        jnp.asarray(x))
+    assert float(g[1, np.argmax(y[1])]) < 0
