@@ -24,6 +24,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SCENES_PER_SEC = 2.0
-BATCH = 32
+BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "32"))
 STEPS = 8
 NUM_VOCABS = 3433
 

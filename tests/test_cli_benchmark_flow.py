@@ -73,6 +73,16 @@ def test_full_benchmark_flow(cli_data):
         assert gate in results["captioning"]
         assert "f1-score" in results["captioning"][gate]
 
+    # 4b. the in-repo eval CLI (reference scripts/eval.py): caption metrics
+    #     + detection mAP on the val split
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "eval.py"),
+         "--folder", run, "--batch_size", "2", "--min_iou", "0.0",
+         "--eval_caption", "--eval_detection"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "CIDEr" in res.stdout and "mAP" in res.stdout, res.stdout[-2000:]
+
     # 5. visualization CLI: scene cloud + pred/GT box PLYs + captions json
     #    (reference scripts/visualize.py)
     res = subprocess.run(
