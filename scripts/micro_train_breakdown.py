@@ -38,12 +38,24 @@ def main():
 
     for name, cfg in configs.items():
         model = CapNet(cfg, num_vocabs=NUM_VOCABS)
-        # host batch at B=1 only (the tunnel runs at ~1.6 MB/s); tile to
-        # BATCH on device
+        # transfer only the SMALL label tensors (the tunnel runs at
+        # ~1.6 MB/s); synthesize every N-sized tensor on device
         host = make_scene_batch(cfg, batch_size=1, num_objects=8,
                                 vocab=vocab, seed=0)
+        N = cfg.num_points
+        big = {"point_clouds", "vote_label", "vote_label_mask"}
         batch = {k: jnp.tile(jnp.asarray(v), (BATCH,) + (1,) * (v.ndim - 1))
-                 for k, v in host.items()}
+                 for k, v in host.items() if k not in big}
+        key0 = jax.random.PRNGKey(7)
+        in_dim = 3 + cfg.input_feature_dim
+        xyz = jax.random.uniform(key0, (BATCH, N, 3), minval=-4.0, maxval=4.0)
+        feats = jax.random.normal(jax.random.fold_in(key0, 1),
+                                  (BATCH, N, in_dim - 3)) * 0.1
+        batch["point_clouds"] = jnp.concatenate([xyz, feats], -1)
+        batch["vote_label"] = jax.random.normal(
+            jax.random.fold_in(key0, 2), (BATCH, N, 9)) * 0.1
+        batch["vote_label_mask"] = (jax.random.uniform(
+            jax.random.fold_in(key0, 3), (BATCH, N)) < 0.5).astype(jnp.int32)
         batch["glove_emb_table"] = emb_table
         init = jax.jit(model.init,
                        static_argnames=("use_tf", "is_eval", "train"))
@@ -81,8 +93,10 @@ def main():
             return loss + sum(jnp.sum(jnp.abs(g))
                               for g in jax.tree_util.tree_leaves(grads))
 
+        print(f"{name}: inputs ready", flush=True)
         for tag, fn in (("fwd  ", fwd), ("fwd+bwd", fwdbwd)):
             float(fn(params, stats, batch, jax.random.PRNGKey(1)))
+            print(f"{name} {tag}: compiled", flush=True)
             ts = []
             for s in range(5):
                 t0 = time.perf_counter()

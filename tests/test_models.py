@@ -153,3 +153,40 @@ def test_sa_gather_lean_path_matches_grouped_mlp(rng):
                               use_xyz=True, normalize_xyz=True)
     want = jnp.max(mlp.apply(params, grouped, False, 0.1), axis=2)
     np.testing.assert_allclose(np.asarray(nf), np.asarray(want), atol=2e-4)
+
+
+def test_sa_leaf_inputs_scatter_free_backward(rng):
+    # leaf_inputs=True swaps the gather's scatter-add backward for a
+    # gather+matmul dW (backbone.py _leaf_gathered_projection); forward and
+    # parameter gradients must match the autodiff path
+    from scan2cap_tpu.models.backbone import PointnetSAModuleVotes
+
+    B, N, C = 2, 300, 16
+    xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 2)
+    feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    outs, grads = [], []
+    for leaf in (False, True):
+        mod = PointnetSAModuleVotes(32, 0.4, 8, (8, 8), leaf_inputs=leaf)
+        variables = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+
+        def loss(params):
+            new_xyz, new_feats, _ = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, feats, train=False)
+            return jnp.sum(jnp.sin(new_feats) * 0.1 + new_feats ** 2 * 0.01)
+
+        l, g = jax.value_and_grad(loss)(variables["params"])
+        outs.append(float(l))
+        grads.append(g)
+
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(grads[0])
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(grads[1]))
+    # convert path keys for lookup
+    flat1 = {jax.tree_util.keystr(p): g
+             for p, g in jax.tree_util.tree_leaves_with_path(grads[1])}
+    for p, g0 in flat0:
+        k = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(flat1[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
