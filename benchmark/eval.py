@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--no_detection", action="store_true")
     p.add_argument("--no_densecap", action="store_true")
     p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--rotated_boxes", action="store_true",
+                   help="polygon-clip gIoU assignment for z-rotated boxes "
+                        "(reference rotated_boxes=True path; ScanNet boxes "
+                        "are axis-aligned so the default matches its eval)")
     return p.parse_args()
 
 
@@ -41,7 +45,8 @@ def main():
         predictions, gt_json, verbose=args.verbose,
         caption=not args.no_caption,
         detection=not args.no_detection,
-        densecap=not args.no_densecap)
+        densecap=not args.no_densecap,
+        rotated_boxes=args.rotated_boxes)
 
     out_path = os.path.join(os.path.dirname(args.path), "eval_results.json")
 

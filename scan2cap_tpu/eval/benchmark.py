@@ -127,9 +127,16 @@ def _iou_aabb_pairwise(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     return inter / (v1 + v2 - inter + 1e-8)
 
 
-def assign_pred_to_gt(predictions: Dict, gts: Dict):
+def assign_pred_to_gt(predictions: Dict, gts: Dict,
+                      rotated_boxes: bool = False):
     """Hungarian gIoU assignment per scene; per-GT best candidate
-    (benchmark/eval.py:239-290)."""
+    (benchmark/eval.py:239-290).  ``rotated_boxes`` switches the assignment
+    cost to the z-rotated polygon-clip gIoU (the reference's
+    rotated_boxes=True path; ScanNet boxes are axis-aligned so the default
+    matches its evaluation)."""
+    if rotated_boxes:
+        import jax.numpy as jnp
+        from scan2cap_tpu.ops.boxes import generalized_box3d_iou_rotated
     candidates = {}
     total_num_preds, total_num_gts = 0, 0
     for scene_id in gts:
@@ -146,7 +153,12 @@ def assign_pred_to_gt(predictions: Dict, gts: Dict):
         total_num_preds += pred_boxes.shape[0]
         total_num_gts += gt_boxes.shape[0]
 
-        cost = -_giou_aabb_np(pred_boxes, gt_boxes)
+        if rotated_boxes:
+            cost = -np.asarray(generalized_box3d_iou_rotated(
+                jnp.asarray(pred_boxes, jnp.float32),
+                jnp.asarray(gt_boxes, jnp.float32)))
+        else:
+            cost = -_giou_aabb_np(pred_boxes, gt_boxes)
         row, col = linear_sum_assignment(cost)
         per_gt_prop = np.zeros(len(gt_boxes), np.int64)
         per_gt_prop[col] = row
@@ -180,8 +192,10 @@ def filter_candidates(candidates: Dict, min_iou: float):
 
 def evaluate_captioning(predictions: Dict, gts: Dict,
                         min_ious: Sequence[float] = (0, 0.25, 0.5),
-                        verbose: bool = False) -> Dict:
-    assigned, n_preds, n_gts = assign_pred_to_gt(predictions, gts)
+                        verbose: bool = False,
+                        rotated_boxes: bool = False) -> Dict:
+    assigned, n_preds, n_gts = assign_pred_to_gt(predictions, gts,
+                                                 rotated_boxes)
     corpus = prepare_corpus(gts)
 
     results = {}
@@ -399,14 +413,15 @@ def evaluate_dense_captioning(predictions: Dict, gts: Dict,
 
 def evaluate(predictions_raw: Dict, gt_json: Dict, verbose: bool = True,
              caption: bool = True, detection: bool = True,
-             densecap: bool = True) -> Dict:
+             densecap: bool = True, rotated_boxes: bool = False) -> Dict:
     """Full offline evaluation (benchmark/eval.py:472-501)."""
     predictions = organize_prediction(predictions_raw)
     gts = organize_gt(gt_json)
     out = {}
     if caption:
         out["captioning"] = evaluate_captioning(predictions, gts,
-                                                verbose=verbose)
+                                                verbose=verbose,
+                                                rotated_boxes=rotated_boxes)
     if detection:
         out["detection"] = evaluate_detection(predictions, gts,
                                               verbose=verbose)

@@ -92,3 +92,16 @@ def test_densecap_map_perfect():
     pred["scene0000_00"][0]["caption"] = "sos something else entirely eos"
     out2 = evaluate_dense_captioning(organize_prediction(pred), organize_gt(gt))
     assert out2["mAP"] < out["mAP"]
+
+
+def test_assignment_rotated_matches_aabb_on_axis_aligned():
+    # axis-aligned fixture boxes: the rotated polygon-clip assignment must
+    # select the same candidates as the AABB path
+    pred, gt = _fixture()
+    preds = organize_prediction(pred)
+    gts = organize_gt(gt)
+    cands, n_preds, n_gts = assign_pred_to_gt(preds, gts, rotated_boxes=True)
+    assert n_preds == 2 and n_gts == 2
+    assert abs(cands["scene0000_00|0"]["iou"] - 1.0) < 1e-6
+    assert cands["scene0000_00|0"]["caption"] == "sos a red chair eos"
+    assert cands["scene0000_00|1"]["caption"] == "sos a wooden table eos"
