@@ -369,20 +369,37 @@ DC_NYU2CLS = {int(i): _NYU2CLS_NAMED.get(int(i), 17) for i in SCANNET_NYU40IDS}
 
 
 class Loader:
-    """Thread-pool prefetching batch loader (replaces torch DataLoader)."""
+    """Thread-pool prefetching batch loader (replaces torch DataLoader).
+
+    Multi-host data parallelism: pass ``num_shards``/``shard_id`` (e.g.
+    ``jax.process_count()``/``jax.process_index()``) and every host draws the
+    SAME seeded global permutation but keeps only its interleaved slice, so
+    the union of all hosts' batches covers each epoch exactly once with no
+    overlap — the per-host input pipeline the reference never needed
+    (SURVEY.md §2.4; its DataLoader feeds a single GPU)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 42, num_workers: int = 4, drop_last: bool = True):
+                 seed: int = 42, num_workers: int = 4, drop_last: bool = True,
+                 num_shards: int = 1, shard_id: int = 0):
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.epoch = 0
 
+    def _shard_size(self):
+        # every host must run the same number of steps: floor division
+        # (the tail remainder of < num_shards samples per epoch is dropped)
+        return len(self.dataset) // self.num_shards if self.num_shards > 1 \
+            else len(self.dataset)
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
@@ -390,6 +407,8 @@ class Loader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rs.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards][:self._shard_size()]
         n_batches = len(self)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:

@@ -26,24 +26,38 @@ def _to_numpy(tree):
 
 
 class CheckpointIO:
-    """Tiny wrapper: orbax when available, npz-pickle fallback."""
+    """Tiny wrapper: orbax when available, npz-pickle fallback.
 
-    def __init__(self, root: str):
+    ``async_save=True`` returns from ``save`` once the tree is snapshot to
+    host memory and lets orbax write to disk in the background (the modern
+    replacement for the reference's blocking torch.save, SURVEY.md §5.3-5.4);
+    ``wait()`` is the barrier, and save/restore insert it automatically so
+    back-to-back operations stay ordered."""
+
+    def __init__(self, root: str, async_save: bool = False):
         self.root = os.path.abspath(root)
+        self.async_save = async_save
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer() if _HAS_ORBAX else None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
     def save(self, name: str, tree: Dict[str, Any]) -> None:
         path = self._path(name)
         if self._ckptr is not None:
+            self.wait()                     # order vs a previous async save
             if os.path.exists(path):
                 import shutil
                 shutil.rmtree(path)
             self._ckptr.save(path, _to_numpy(tree))
-            self._ckptr.wait_until_finished()
+            if not self.async_save:
+                self._ckptr.wait_until_finished()
         else:  # pragma: no cover
             import pickle
             with open(path + ".pkl", "wb") as f:
@@ -52,6 +66,7 @@ class CheckpointIO:
     def restore(self, name: str, target: Optional[Dict] = None):
         path = self._path(name)
         if self._ckptr is not None:
+            self.wait()
             return self._ckptr.restore(
                 path, target=_to_numpy(target) if target is not None else None)
         import pickle  # pragma: no cover

@@ -54,6 +54,7 @@ class Solver:
         lr_decay: bool = False,               # detection-only schedules
         bn_decay: bool = False,
         profile_steps: int = 0,               # jax.profiler trace of steps 2..N
+        async_checkpoints: bool = False,      # overlap disk IO with training
     ):
         self.cfg = cfg
         self.model = model
@@ -73,7 +74,8 @@ class Solver:
         self.output = os.path.join(
             output_root or cfg.paths.output, stamp)
         os.makedirs(self.output, exist_ok=True)
-        self.ckpt = CheckpointIO(os.path.join(self.output, "ckpt"))
+        self.ckpt = CheckpointIO(os.path.join(self.output, "ckpt"),
+                                 async_save=async_checkpoints)
         self.log_path = os.path.join(self.output, "log.txt")
         self.best = {"epoch": 0, self.criterion: -float("inf")}
         self.global_iter = 0
@@ -120,10 +122,12 @@ class Solver:
                        if self.bn_decay else 0.1)
                 self._feed_epoch(epoch, epochs, total_iter, start, lr, mom)
                 self._save_checkpoint(epoch)
+            self.ckpt.wait()              # commit any in-flight async save
             self._dump_log()
         except KeyboardInterrupt:
             # checkpoint-and-exit (lib/solver.py:200-203,497-515)
             self._save_checkpoint(epoch, interrupted=True)
+            self.ckpt.wait()
             raise
         return self.best
 

@@ -155,8 +155,12 @@ def train(args):
     val_ds = ScannetReferenceDataset(
         eval_val, all_scenes, split="val", augment=False,
         vocab=train_ds.vocabulary, glove=train_ds.glove, **common)
+    # multi-host: each host loads its interleaved shard of the global
+    # permutation (jax.distributed must be initialized by the launcher)
     train_loader = Loader(train_ds, args.batch_size, shuffle=True,
-                          seed=args.seed)
+                          seed=args.seed,
+                          num_shards=jax.process_count(),
+                          shard_id=jax.process_index())
     val_loader = Loader(val_ds, args.batch_size, shuffle=False,
                         seed=args.seed, drop_last=False)
 

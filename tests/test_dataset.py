@@ -157,3 +157,27 @@ def test_rotate_aligned_boxes_along_axis_small_angle(rng):
     rot = rotz(0.0)
     out = rotate_aligned_boxes_along_axis(boxes, rot, "z")
     np.testing.assert_allclose(out, boxes, atol=1e-6)
+
+
+def test_loader_host_sharding(tmp_path, rng):
+    # hosts draw disjoint interleaved slices of the same permutation that
+    # union to (almost) the full epoch; every host runs equal step counts
+    class _Toy:
+        def __len__(self):
+            return 21
+
+        def __getitem__(self, i, rs=None):
+            return {"idx": np.int32(i)}
+
+    from scan2cap_tpu.data.dataset import Loader
+    seen = []
+    for shard in range(4):
+        ld = Loader(_Toy(), batch_size=2, shuffle=True, seed=3,
+                    num_shards=4, shard_id=shard, drop_last=True)
+        assert len(ld) == 2                       # 21 // 4 = 5 -> 2 batches
+        got = [int(v) for b in ld for v in b["idx"]]
+        assert len(got) == 4
+        seen.append(set(got))
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (seen[a] & seen[b]), (a, b)

@@ -130,3 +130,20 @@ def test_schedules():
     assert bn_momentum(20) == 0.25
     assert bn_momentum(45) == 0.125
     assert bn_momentum(1000) == 0.001
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from scan2cap_tpu.train.checkpoints import CheckpointIO
+
+    tree = {"params": {"w": np.arange(12.0).reshape(3, 4)},
+            "step": np.int32(7)}
+    io = CheckpointIO(str(tmp_path / "ckpt"), async_save=True)
+    io.save("last", tree)          # returns before the disk commit
+    io.save("best", tree)          # internally barriers on the previous save
+    out = io.restore("last", tree) # barriers, then restores
+    np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])
+    assert int(out["step"]) == 7
+    io.wait()
+    io2 = CheckpointIO(str(tmp_path / "ckpt"))
+    out2 = io2.restore_best_or_last(tree)
+    np.testing.assert_array_equal(out2["params"]["w"], tree["params"]["w"])
