@@ -63,7 +63,7 @@ def main():
         pose = load_pose(os.path.join(pose_dir, f))
         depth = load_depth(os.path.join(depth_dir, frame_id + ".png"),
                            PROJECTOR_IMAGE_DIMS)
-        proj = projector.compute_projection(points, depth.T, pose)
+        proj = projector.compute_projection(points, depth, pose)  # (h, w) row-major
         if proj is None:
             continue
         ind3d, ind2d = proj
