@@ -77,3 +77,43 @@ def test_multiview_feature_pipeline(tmp_path, rng):
     # the culled / depth-inconsistent points stay zero
     np.testing.assert_array_equal(agg[1], 0)
     np.testing.assert_array_equal(agg[2], 0)
+
+
+def test_multiview_label_projection(tmp_path, rng):
+    from scan2cap_tpu.data.projection import PROJECTOR_IMAGE_DIMS
+    from scan2cap_tpu.utils.ply import read_ply
+
+    scene = "scene0000_00"
+    w, h = PROJECTOR_IMAGE_DIMS
+
+    scannet = tmp_path / "scannet_data"
+    scannet.mkdir()
+    verts = np.zeros((2, 9), np.float32)
+    verts[0, :3] = [0, 0, 1.0]
+    verts[1, :3] = [50, 0, 1.0]
+    np.save(scannet / f"{scene}_aligned_vert.npy", verts)
+
+    frames = tmp_path / "frames" / scene
+    (frames / "pose").mkdir(parents=True)
+    (frames / "depth").mkdir()
+    np.savetxt(frames / "pose" / "000000.txt", np.eye(4))
+    depth_mm = np.full((h, w), 60000, np.uint16)
+    depth_mm[16, 20] = 1000
+    Image.fromarray(depth_mm).save(frames / "depth" / "000000.png")
+
+    labels = tmp_path / "labels" / scene
+    labels.mkdir(parents=True)
+    lab = np.zeros((h, w), np.int32)
+    lab[16, 20] = 5                                 # chair at the hit pixel
+    np.save(labels / "000000.npy", lab)
+
+    out = tmp_path / "labels.ply"
+    _run([os.path.join(REPO, "scripts", "project_multiview_labels.py"),
+          "--scannet_data", str(scannet),
+          "--frames_root", str(tmp_path / "frames"),
+          "--labels_root", str(tmp_path / "labels"),
+          "--scene_id", scene, "--out", str(out), "--frame_skip", "1"])
+    v = read_ply(str(out))["vertex"]
+    # point 0 colored with the nyu40-5 palette entry, point 1 unlabeled
+    assert (v["red"][0], v["green"][0], v["blue"][0]) == (188, 189, 34)
+    assert (v["red"][1], v["green"][1], v["blue"][1]) == (0, 0, 0)
