@@ -69,9 +69,11 @@ def organize_candidates(corpus: Dict, candidates: Dict) -> Dict:
     return {k: candidates[k] for k in corpus}
 
 
-@functools.partial(jax.jit, static_argnames=("min_iou", "nms_iou"))
+@functools.partial(jax.jit,
+                   static_argnames=("min_iou", "nms_iou", "use_nms"))
 def postprocess_scene_cap(out: Dict, batch: Dict, min_iou: float = 0.5,
-                          nms_iou: float = 0.25) -> Dict:
+                          nms_iou: float = 0.25,
+                          use_nms: bool = True) -> Dict:
     """Device-side post-processing for caption eval."""
     corners = out["bbox_corner"]                       # (B, K, 8, 3)
     B, K = corners.shape[:2]
@@ -88,9 +90,12 @@ def postprocess_scene_cap(out: Dict, batch: Dict, min_iou: float = 0.5,
         & (pc[:, None, :, :] <= hi[:, :, None, :]), axis=-1)   # (B, K, N)
     nonempty = jnp.sum(inside, axis=-1) >= 5
 
-    nms_mask = nms_3d(corners, jnp.where(nonempty, obj_prob, -1.0), pred_cls,
-                      iou_threshold=nms_iou, same_cls=True)
-    nms_mask = nms_mask & nonempty
+    if use_nms:
+        nms_mask = nms_3d(corners, jnp.where(nonempty, obj_prob, -1.0),
+                          pred_cls, iou_threshold=nms_iou, same_cls=True)
+        nms_mask = nms_mask & nonempty
+    else:  # --no_nms (scripts/eval.py:253): objectness/empty filters only
+        nms_mask = nonempty
     obj_mask = jnp.argmax(out["objectness_scores"], axis=-1) == 1
     final_mask = nms_mask & obj_mask                   # (B, K)
 
@@ -118,6 +123,7 @@ def feed_scene_cap(
     loader,
     organized: Dict,
     min_iou: float = 0.5,
+    use_nms: bool = True,
 ) -> Dict:
     """Run eval over a loader and return the candidates dict."""
     candidates: Dict[str, List[str]] = {}
@@ -126,7 +132,8 @@ def feed_scene_cap(
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         jbatch["glove_emb_table"] = jnp.asarray(dataset.emb_table)
         out = eval_step(state, jbatch)
-        post = postprocess_scene_cap(out, jbatch, min_iou=min_iou)
+        post = postprocess_scene_cap(out, jbatch, min_iou=min_iou,
+                                     use_nms=use_nms)
         keep = np.asarray(post["keep"])
         det_ids = np.asarray(post["detected_object_ids"])
         caps = np.asarray(post["captions"])
@@ -172,6 +179,7 @@ def eval_cap(
     min_iou: float = 0.5,
     corpus: Optional[Dict] = None,
     use_meteor_jar: bool = False,
+    use_nms: bool = True,
 ):
     """Full caption evaluation (eval_helper.py:388-512):
     corpus prep → model feed → metric scoring."""
@@ -180,5 +188,6 @@ def eval_cap(
                                 if hasattr(dataset, "scanrefer_full")
                                 else dataset.scanrefer)
     candidates = feed_scene_cap(
-        eval_step, state, dataset, loader, organized, min_iou)
+        eval_step, state, dataset, loader, organized, min_iou,
+        use_nms=use_nms)
     return score_captions(corpus, candidates, use_meteor_jar)

@@ -29,6 +29,14 @@ def parse_args():
     p.add_argument("--eval_detection", action="store_true")
     p.add_argument("--use_last", action="store_true",
                    help="evaluate model_last instead of best")
+    p.add_argument("--use_train", action="store_true",
+                   help="evaluate on the train split (scripts/eval.py:259)")
+    p.add_argument("--no_nms", action="store_true",
+                   help="skip NMS in caption-eval post-processing")
+    p.add_argument("--use_pretrained", type=str, default=None,
+                   help="evaluate warm-start detection weights instead of "
+                        "the folder checkpoint: a converted torch .pth "
+                        "(the reference's --eval_pretrained) or a run name")
     p.add_argument("--force", action="store_true")
     return p.parse_args()
 
@@ -61,8 +69,10 @@ def evaluate(args):
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")
     val_path = os.path.join(paths.data, f"{args.dataset}_filtered_val.json")
-    scanrefer_train, _, eval_val, all_scenes = get_scanrefer(
+    scanrefer_train, eval_train, eval_val, all_scenes = get_scanrefer(
         train_path, val_path, getattr(targs, "num_scenes", -1))
+    eval_list = eval_train if args.use_train else eval_val
+    eval_split = "train" if args.use_train else "val"
 
     common = dict(
         scannet_data_dir=paths.scannet_data,
@@ -77,7 +87,7 @@ def evaluate(args):
     train_ds = ScannetReferenceDataset(
         scanrefer_train, all_scenes, split="train", augment=False, **common)
     val_ds = ScannetReferenceDataset(
-        eval_val, all_scenes, split="val", augment=False,
+        eval_list, all_scenes, split=eval_split, augment=False,
         vocab=train_ds.vocabulary, glove=train_ds.glove, **common)
     val_loader = Loader(val_ds, args.batch_size, shuffle=False,
                         seed=args.seed, drop_last=False)
@@ -87,26 +97,35 @@ def evaluate(args):
     example = {k: jnp.asarray(v) for k, v in example.items()}
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
-    ckpt = CheckpointIO(os.path.join(folder, "ckpt"))
-    restored = (ckpt.restore("last", {"params": state.params,
-                                     "batch_stats": state.batch_stats})
-                if args.use_last else ckpt.restore_best_or_last(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats}))
-    state = state.replace(params=restored["params"],
-                          batch_stats=restored["batch_stats"])
+    if args.use_pretrained and args.use_pretrained.endswith(".pth"):
+        # detection eval of released VoteNet weights (reference
+        # scripts/eval.py --eval_pretrained + README.md:160-164)
+        from scan2cap_tpu.convert import mount_detection_weights
+        state = mount_detection_weights(state, args.use_pretrained)
+    else:
+        src = (os.path.join(paths.output, args.use_pretrained, "ckpt")
+               if args.use_pretrained else os.path.join(folder, "ckpt"))
+        ckpt = CheckpointIO(src)
+        restored = (ckpt.restore("last", {"params": state.params,
+                                         "batch_stats": state.batch_stats})
+                    if args.use_last else ckpt.restore_best_or_last(
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats}))
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
     eval_step = make_eval_step(cfg, model)
 
     if args.eval_caption:
         with open(os.path.join(paths.data,
                                "ScanRefer_filtered_organized.json")) as f:
             organized = json.load(f)
+        split_path = train_path if args.use_train else val_path
         corpus = prepare_corpus(
-            [d for d in json.load(open(val_path))
-             if d["scene_id"] in {e["scene_id"] for e in eval_val}])
+            [d for d in json.load(open(split_path))
+             if d["scene_id"] in {e["scene_id"] for e in eval_list}])
         bleu, cider, rouge, meteor = eval_cap(
             eval_step, state, val_ds, val_loader, organized,
-            min_iou=args.min_iou, corpus=corpus)
+            min_iou=args.min_iou, corpus=corpus, use_nms=not args.no_nms)
         print(f"[BLEU-1] {bleu[0][0]:.4f}")
         print(f"[BLEU-2] {bleu[0][1]:.4f}")
         print(f"[BLEU-3] {bleu[0][2]:.4f}")
