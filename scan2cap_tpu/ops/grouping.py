@@ -32,10 +32,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-# "exact": CUDA-parity first-k in scan order (hierarchical blockwise top-k).
-# "approx": lax.approx_min_k with 0.99 recall — ~1.7x faster on TPU; the ~1%
-# substituted slots are still valid in-ball points, just later in scan order
-# (the scan order is a random permutation after dataset sampling anyway).
+# "exact": CUDA-parity first-k in scan order (bitmask+popcount decode).
+# "approx": lax.approx_min_k with 0.99 recall — kept for completeness, but
+# NOTE: it was 1.7x faster than the EARLY hierarchical-top-k implementation
+# and is now SLOWER than the optimized exact path; there is no reason to use
+# it except for A/B experiments.
 DEFAULT_BALL_QUERY_MODE = "exact"
 
 
