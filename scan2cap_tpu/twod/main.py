@@ -17,6 +17,11 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--prep", action="store_true", help="build feature DBs")
+    p.add_argument("--images_root", type=str, default=None,
+                   help="--prep input: <root>/<sample_id>.jpg viewpoint "
+                        "renders (sample_id = scene-object_ann)")
+    p.add_argument("--boxes", type=str, default=None,
+                   help="--prep input: json {sample_id: [{box, is_target}]}")
     p.add_argument("--train", action="store_true")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--exp_type", type=str, default="nonretrieval")
@@ -68,6 +73,37 @@ def main():
 
     with open(os.path.join(paths.data, "ScanRefer_filtered_train.json")) as f:
         scanrefer_train = json.load(f)
+
+    if args.prep:
+        # build the (viewpoint, box-source) feature database consumed by
+        # TwoDDataset (Scan2Cap-2D/preprocessing; resnet extractor with an
+        # offline random-projection fallback)
+        from PIL import Image
+        from scan2cap_tpu.twod.dataset import sample_id_of
+        from scan2cap_tpu.twod.preprocessing import build_database
+
+        with open(os.path.join(paths.data, "ScanRefer_filtered_val.json")) as f:
+            samples = scanrefer_train + json.load(f)
+        with open(args.boxes) as f:
+            boxes_db = json.load(f)
+
+        def load_image(entry):
+            sid = sample_id_of(entry)
+            for ext in (".jpg", ".png"):
+                path = os.path.join(args.images_root, sid + ext)
+                if os.path.exists(path):
+                    return np.asarray(Image.open(path).convert("RGB"),
+                                      np.float32) / 255.0
+            raise FileNotFoundError(sid)
+
+        def load_boxes(entry):
+            return boxes_db.get(sample_id_of(entry), [])
+
+        os.makedirs(os.path.dirname(cfg.db_path) or ".", exist_ok=True)
+        out = build_database(cfg.db_path, samples, load_image, load_boxes)
+        print(f"wrote {out} ({len(samples)} samples)")
+        return
+
     glove = load_glove(paths.glove)
     train_ds = TwoDDataset(scanrefer_train, cfg, glove)
     loader = Loader(train_ds, args.batch_size, shuffle=True, seed=args.seed)

@@ -97,3 +97,58 @@ def test_twod_train_eval_tdbu(twod_data):
 def test_twod_retrieval_bank(twod_data):
     res = _run(["--train", "--model", "retr"], twod_data)
     assert "retrieval bank built: 4 samples" in res.stdout, res.stdout
+
+
+def test_twod_prep_builds_database(twod_data, rng):
+    # --prep: viewpoint renders + box json -> feature HDF5 with the
+    # TwoDDataset schema (offline extractor fallback, no downloads)
+    from scan2cap_tpu.twod.conf import TARGET_FEATURE_SIZE
+    from PIL import Image
+
+    images = twod_data / "renders"
+    images.mkdir()
+    boxes = {}
+    with open(twod_data / "data" / "ScanRefer_filtered_train.json") as f:
+        import json
+        train = json.load(f)
+    with open(twod_data / "data" / "ScanRefer_filtered_val.json") as f:
+        val = json.load(f)
+    for e in train + val:
+        sid = "{}-{}_{}".format(e["scene_id"], e["object_id"], e["ann_id"])
+        img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(images / f"{sid}.jpg")
+        boxes[sid] = [
+            {"box": [10, 10, 60, 60], "is_target": True},
+            {"box": [100, 50, 180, 120], "is_target": False},
+        ]
+    with open(twod_data / "boxes.json", "w") as f:
+        import json as _json
+        _json.dump(boxes, f)
+
+    # write to a fresh db path so the fixture db isn't clobbered
+    out_2d = twod_data / "2d_prep"
+    out_2d.mkdir()
+    env_extra = {"SCAN2CAP_2D_DATA": str(out_2d)}
+    envd = dict(os.environ)
+    envd.update({
+        "SCAN2CAP_DATA": str(twod_data / "data"),
+        "SCAN2CAP_OUTPUT": str(twod_data / "outputs"),
+        "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+    })
+    envd.update(env_extra)
+    res = subprocess.run(
+        [sys.executable, "-m", "scan2cap_tpu.twod.main", "--prep",
+         "--images_root", str(images), "--boxes",
+         str(twod_data / "boxes.json")],
+        env=envd, capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert res.returncode == 0, (res.stderr[-3000:], res.stdout[-500:])
+
+    db_path = out_2d / "annotated_oracle_features.hdf5"
+    assert db_path.exists()
+    with h5py.File(db_path, "r") as db:
+        assert len(db.keys()) == 6                # 4 train + 2 val samples
+        g = db["scene0000_00-0_0"]
+        assert g["g_feat"].shape == (2048,)
+        assert g["t_feat"].shape == (TARGET_FEATURE_SIZE,)
+        assert g["c_feats"].shape == (1, TARGET_FEATURE_SIZE)
+        assert np.isfinite(np.asarray(g["t_feat"])).all()
