@@ -23,7 +23,6 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from scan2cap_tpu.data.dataset import ScannetReferenceDataset
 from scan2cap_tpu.data.vocab import encode_caption
 
 NUM_PRESET_EPOCHS = 100

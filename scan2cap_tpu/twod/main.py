@@ -6,10 +6,8 @@
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
-import sys
 
 import numpy as np
 

@@ -40,10 +40,8 @@ def evaluate(args):
     from scan2cap_tpu.data.vocab import load_glove
     from scan2cap_tpu.models.capnet_pretrained import CapNetPretrained
     from scan2cap_tpu.train.checkpoints import CheckpointIO
-    from scan2cap_tpu.train.step import TrainState, make_optimizer
     from scan2cap_tpu.eval.eval_helper import (
-        prepare_corpus, decode_caption, score_captions)
-    from scan2cap_tpu.ops.boxes import box3d_iou_batch
+        prepare_corpus, score_captions)
 
     paths = PathConfig()
     folder = os.path.join(paths.output, args.folder)
