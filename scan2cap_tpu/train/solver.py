@@ -137,6 +137,33 @@ class Solver:
         mom_j = jnp.asarray(mom, jnp.float32)
         fetch_times, step_times = [], []
         t_fetch = time.time()
+        # one-step-deferred metrics: dispatch is async, so syncing on the
+        # CURRENT step's loss would stall the host behind the device every
+        # iteration (the reference does exactly that, lib/solver.py:366-446).
+        # Realizing the previous step's scalars while the current step runs
+        # overlaps host fetch + H2D with device compute.
+        pending = None                    # (metrics, iter, dispatch_time)
+
+        def consume(p):
+            metrics, it, t_disp = p
+            loss = float(metrics["loss"])         # sync with step it
+            step_times.append(time.time() - t_disp)
+            if it % self.verbose == 0:
+                mean_fetch = float(np.mean(fetch_times[-self.verbose:]))
+                mean_step = float(np.mean(step_times[-self.verbose:]))
+                eta = (total_iter - it) * (mean_fetch + mean_step)
+                self._log(ITER_REPORT.format(
+                    epoch=epoch + 1, total_epoch=total_epochs,
+                    iter=it, total_iter=total_iter,
+                    loss=loss,
+                    cap_loss=float(metrics.get("cap_loss", 0.0)),
+                    box_loss=float(metrics.get("box_loss", 0.0)),
+                    obj_acc=float(metrics.get("obj_acc", 0.0)),
+                    pred_ious=float(metrics.get("pred_ious", 0.0)),
+                    fetch=mean_fetch, step=mean_step, eta=format_eta(eta)))
+                for k, v in metrics.items():
+                    self._write_scalar("train", k, float(v), it)
+
         for batch in self.train_loader:
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             fetch_times.append(time.time() - t_fetch)
@@ -147,35 +174,26 @@ class Solver:
                     os.path.join(self.output, "profile"))
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, jbatch, lr_j, mom_j)
-            loss = float(metrics["loss"])  # sync point
-            step_times.append(time.time() - t0)
             self.global_iter += 1
+            if pending is not None:
+                consume(pending)
+            pending = (metrics, self.global_iter, t0)
             if (self.profile_steps
                     and self.global_iter == 1 + self.profile_steps):
+                consume(pending)          # drain before stopping the trace
+                pending = None
                 jax.profiler.stop_trace()
                 self._log(f"profiler trace written to {self.output}/profile")
 
-            if self.global_iter % self.verbose == 0:
-                mean_fetch = float(np.mean(fetch_times[-self.verbose:]))
-                mean_step = float(np.mean(step_times[-self.verbose:]))
-                done = self.global_iter
-                eta = (total_iter - done) * (mean_fetch + mean_step)
-                self._log(ITER_REPORT.format(
-                    epoch=epoch + 1, total_epoch=total_epochs,
-                    iter=done, total_iter=total_iter,
-                    loss=loss,
-                    cap_loss=float(metrics.get("cap_loss", 0.0)),
-                    box_loss=float(metrics.get("box_loss", 0.0)),
-                    obj_acc=float(metrics.get("obj_acc", 0.0)),
-                    pred_ious=float(metrics.get("pred_ious", 0.0)),
-                    fetch=mean_fetch, step=mean_step, eta=format_eta(eta)))
-                for k, v in metrics.items():
-                    self._write_scalar("train", k, float(v), self.global_iter)
-
             if (self.eval_fn is not None
                     and self.global_iter % self.val_step == 0):
+                if pending is not None:
+                    consume(pending)
+                    pending = None
                 self._run_eval(epoch)
             t_fetch = time.time()
+        if pending is not None:
+            consume(pending)
 
     def _run_eval(self, epoch):
         scores = self.eval_fn(self.state)
