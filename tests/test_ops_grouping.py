@@ -125,3 +125,23 @@ def test_query_and_group_normalize(rng):
     want_xyz = (xyz[0][idx[0]] - new_xyz[0][:, None, :]) / 0.4
     np.testing.assert_allclose(np.asarray(grouped_xyz)[0], want_xyz, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out)[0, ..., 3:], feats[0][idx[0]], rtol=1e-5)
+
+
+def test_ball_query_randomized_property(rng):
+    # randomized sweep across N (stressing word/supergroup boundaries),
+    # radii and nsample; exact equality with the brute-force golden
+    for trial in range(12):
+        N = int(rng.choice([31, 32, 33, 63, 65, 127, 128, 300, 1024,
+                            4095, 4097, 5000]))
+        M = int(rng.randint(1, 40))
+        nsample = int(rng.choice([1, 3, 8, 32, 64]))
+        radius = float(rng.choice([0.05, 0.2, 0.5, 1.5]))
+        B = int(rng.randint(1, 3))
+        xyz = rng.rand(B, N, 3).astype(np.float32) * 2.0
+        new_xyz = rng.rand(B, M, 3).astype(np.float32) * 2.0
+        got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz),
+                                    radius, nsample))
+        want = ball_query_numpy_fast(xyz, new_xyz, radius, nsample)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial={trial} N={N} M={M} "
+                               f"ns={nsample} r={radius}")

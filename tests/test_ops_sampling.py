@@ -69,3 +69,20 @@ def test_gather_points_grad_is_scatter_add(rng):
     want[0, 3] = 2.0  # accumulated twice
     want[0, 5] = 1.0
     np.testing.assert_allclose(g, want)
+
+
+def test_fps_randomized_property(rng):
+    from scan2cap_tpu.ops.sampling import furthest_point_sample
+
+    for trial in range(8):
+        N = int(rng.choice([8, 33, 100, 257, 1000]))
+        npoint = int(rng.randint(1, min(N, 64) + 1))
+        B = int(rng.randint(1, 3))
+        xyz = (rng.rand(B, N, 3).astype(np.float32) * 4 - 2)
+        if trial % 2:                       # sprinkle near-origin padding
+            k = rng.randint(0, N // 2 + 1)
+            xyz[:, rng.choice(N, k, replace=False)] = 0.0
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), npoint))
+        want = fps_numpy(xyz, npoint)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial={trial} N={N} npoint={npoint}")
