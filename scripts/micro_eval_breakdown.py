@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 16
+BATCH = int(os.environ.get("SCAN2CAP_MICRO_BATCH", "16"))
 NUM_VOCABS = 3433
 REP = 4
 

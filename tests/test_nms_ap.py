@@ -130,3 +130,31 @@ def test_nms_2d_footprint():
     scores = np.array([[0.9, 0.8, 0.7]], np.float32)
     keep = np.asarray(nms_2d(jnp.asarray(corners), jnp.asarray(scores)))
     np.testing.assert_array_equal(keep[0], [True, False, True])
+
+
+def test_metric_util_precision_recall(rng):
+    # utils/metric_util.py semantics: class-agnostic any-match counting,
+    # confidence filtering, the reference's own __main__ IoU goldens
+    from scan2cap_tpu.utils.metric_util import (
+        calc_iou, multi_scene_precision_recall, single_scene_precision_recall)
+
+    assert calc_iou(np.array([0, 0, 0, 1, 1, 1.0]),
+                    np.array([0, 0, 0, 2, 2, 2.0])) == 1.0 / 8
+    assert calc_iou(np.array([0, 0, 0, 1, 1, 1.0]),
+                    np.array([10, 10, 10, 2, 2, 2.0])) == 0.0
+
+    gt = np.array([[0, 0, 0, 1, 1, 1], [5, 5, 5, 1, 1, 1.0]])
+    pred = np.array([
+        [0, 0, 0, 1, 1, 1, 0.9],      # TP (IoU 1 with gt 0)
+        [0.1, 0, 0, 1, 1, 1, 0.8],    # TP (also matches gt 0)
+        [9, 9, 9, 1, 1, 1, 0.9],      # FP
+        [5, 5, 5, 1, 1, 1, 0.01],     # below conf -> ignored
+    ])
+    tp, fp, fn = single_scene_precision_recall(gt, pred, 0.5, 0.1)
+    assert (tp, fp, fn) == (2, 1, 1)   # gt 1 unmatched
+
+    TP, FP, FN, (prec, rec) = multi_scene_precision_recall(
+        gt[None], pred[None], 0.5, 0.1,
+        label_mask=np.ones((1, 2)), pred_mask=np.ones((1, 4)))
+    assert (TP, FP, FN) == (2, 1, 1)
+    assert abs(prec - 2 / 3) < 1e-9 and abs(rec - 2 / 3) < 1e-9
