@@ -134,7 +134,7 @@ def test_ball_query_randomized_property(rng):
         N = int(rng.choice([31, 32, 33, 63, 65, 127, 128, 300, 1024,
                             4095, 4097, 5000]))
         M = int(rng.randint(1, 40))
-        nsample = int(rng.choice([1, 3, 8, 32, 64]))
+        nsample = int(rng.choice([1, 3, 8, 32, 64, 128]))  # incl. nsample > N
         radius = float(rng.choice([0.05, 0.2, 0.5, 1.5]))
         B = int(rng.randint(1, 3))
         xyz = rng.rand(B, N, 3).astype(np.float32) * 2.0
