@@ -1,10 +1,12 @@
 """Benchmark: ScanRefer-style eval throughput (detect + caption) on one chip.
 
-Measures the full inference path of the flagship CapNet — PointNet++ over
+Measures the full model forward of the flagship CapNet — PointNet++ over
 40k points (multiview+normal+height features), voting, 256 proposals,
 relational graph (2 EdgeConv steps), and caption decoding for ALL 256
-proposals × 29 GRU-attention steps (what lib/eval_helper.py:feed_scene_cap
-does per val batch) — as scenes/sec.
+proposals × 29 GRU-attention steps (the model pass of
+lib/eval_helper.py:feed_scene_cap; the NMS/IoU-gating postprocess and host
+metric scoring are excluded on both sides of the comparison) — as
+scenes/sec.
 
 The input scene is synthesized ON DEVICE inside the same jit program from a
 per-step PRNG key: the benching host link (a tunnel in this environment) is
