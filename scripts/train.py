@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--epoch", type=int, default=20)
     p.add_argument("--verbose", type=int, default=10)
     p.add_argument("--val_step", type=int, default=2000)
+    p.add_argument("--profile", type=int, default=0,
+                   help="jax.profiler trace of N warm steps (skips compile); "
+                        "writes outputs/<stamp>/profile")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=1e-5)
     p.add_argument("--num_points", type=int, default=40000)
@@ -249,7 +252,8 @@ def train(args):
         stamp=stamp, val_step=args.val_step,
         detection=not args.no_detection, caption=not args.no_caption,
         criterion=args.criterion, verbose=args.verbose,
-        lr_decay=args.no_caption, bn_decay=args.no_caption)
+        lr_decay=args.no_caption, bn_decay=args.no_caption,
+        profile_steps=args.profile)
 
     # info.json parity (scripts/train.py:183-197)
     info = dict(vars(args))

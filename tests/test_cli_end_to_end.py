@@ -68,7 +68,7 @@ def test_train_cli_runs(cli_data):
          "--epoch", "1", "--batch_size", "2", "--num_points", "512",
          "--num_proposals", "16", "--verbose", "1", "--val_step", "2",
          "--use_topdown", "--num_locals", "4", "--num_graph_steps", "2",
-         "--use_relation", "--tag", "citest"],
+         "--use_relation", "--profile", "1", "--tag", "citest"],
         env=env, capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stderr[-3000:]
     out_root = cli_data / "outputs"
@@ -82,6 +82,9 @@ def test_train_cli_runs(cli_data):
     assert "loss" in log
     # in-training eval fired (val_step=2, 2 iters/epoch)
     assert "[eval @ iter" in log, log
+    # --profile 1 wrote a jax.profiler trace of the first warm step
+    assert (run / "profile").is_dir(), list(run.iterdir())
+    assert any((run / "profile").rglob("*")), "empty profile dir"
 
 
 def test_train_cli_resume(cli_data):
