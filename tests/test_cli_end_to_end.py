@@ -86,6 +86,22 @@ def test_train_cli_runs(cli_data):
     assert (run / "profile").is_dir(), list(run.iterdir())
     assert any((run / "profile").rglob("*")), "empty profile dir"
 
+    # AOT serving export (jax.export StableHLO) + load/run round trip —
+    # the load side needs no model code
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export_model.py"),
+         "--folder", run.name],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    art = run / "model.stablehlo"
+    assert art.exists() and (run / "model.stablehlo.vocab.json").exists()
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export_model.py"),
+         "--load", str(art), "--check"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "check ok" in res.stdout, res.stdout[-500:]
+
 
 def test_train_cli_resume(cli_data):
     env = dict(os.environ)
