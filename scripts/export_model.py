@@ -104,7 +104,12 @@ def build_and_export(args):
                 "objectness_scores": out["objectness_scores"],
                 "sem_cls_scores": out["sem_cls_scores"]}
 
-    exp = jexport.export(jax.jit(serve))(
+    # multi-platform lowering: the artifact runs on TPU serving fleets and
+    # CPU alike regardless of where it was exported.  NOTE: backend-dispatch
+    # choices (e.g. the Pallas FPS kernel vs its exact XLA fallback) are
+    # baked at trace time — export ON a TPU host to capture the Pallas
+    # kernels; semantics are identical either way
+    exp = jexport.export(jax.jit(serve), platforms=("cpu", "tpu"))(
         jax.ShapeDtypeStruct((B, N, in_dim), jnp.float32))
     out_path = args.out or os.path.join(folder, "model.stablehlo")
     with open(out_path, "wb") as f:
