@@ -181,3 +181,37 @@ def test_loader_host_sharding(tmp_path, rng):
     for a in range(4):
         for b in range(a + 1, 4):
             assert not (seen[a] & seen[b]), (a, b)
+
+
+def test_dataset_handles_unannotated_test_scene(tmp_path, rng):
+    # hidden-benchmark test scenes have zero labels and no boxes
+    # (scannet_preprocess export's no-aggregation branch); the dataset must
+    # degrade gracefully (reference needed a separate TestDataset class)
+    import pickle
+    scannet = tmp_path / "scannet_data"
+    scannet.mkdir()
+    n = 800
+    verts = np.zeros((n, 9), np.float32)
+    verts[:, :3] = rng.rand(n, 3) * 4
+    verts[:, 3:6] = rng.randint(0, 255, (n, 3))
+    np.save(scannet / "scene0707_00_aligned_vert.npy", verts)
+    np.save(scannet / "scene0707_00_ins_label.npy", np.zeros(n, np.int32))
+    np.save(scannet / "scene0707_00_sem_label.npy", np.zeros(n, np.int32))
+    np.save(scannet / "scene0707_00_aligned_bbox.npy",
+            np.zeros((0, 8), np.float32))
+    glove_path = tmp_path / "glove.p"
+    with open(glove_path, "wb") as f:
+        pickle.dump(make_fixture_glove(["a", "chair"]), f)
+
+    from scan2cap_tpu.data.dataset import ScannetReferenceDataset
+    entries = [{"scene_id": "scene0707_00", "object_id": "0", "ann_id": "0",
+                "object_name": "unknown", "token": ["a", "chair"],
+                "description": "a chair"}]
+    ds = ScannetReferenceDataset(
+        entries, ["scene0707_00"], split="test", augment=False,
+        scannet_data_dir=str(scannet), glove_path=str(glove_path),
+        num_points=512)
+    s = ds.__getitem__(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (512, 3)
+    assert int(s["gt_box_masks"].sum()) == 0
+    assert np.isfinite(s["point_clouds"]).all()
