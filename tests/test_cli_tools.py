@@ -152,3 +152,15 @@ def test_export_axis_aligned_mesh(tmp_path, rng):
     got = np.stack([v["x"], v["y"], v["z"]], 1)
     np.testing.assert_allclose(got, xyz + np.array([1, 2, 3]), atol=1e-5)
     assert len(data["face"]) == 2
+
+
+def test_launch_scripts_are_valid_bash():
+    import glob
+    scripts = glob.glob(os.path.join(REPO, "launch", "*.sh"))
+    assert len(scripts) >= 5
+    for sh in scripts:
+        res = subprocess.run(["bash", "-n", sh], capture_output=True,
+                             text=True)
+        assert res.returncode == 0, (sh, res.stderr)
+        body = open(sh).read()
+        assert "python" in body and "set -euo pipefail" in body, sh
