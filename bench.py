@@ -35,9 +35,9 @@ import numpy as np
 
 BASELINE_SCENES_PER_SEC = 2.0
 BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "32"))
-# one pre-generated device-resident batch per timed step; cap the staging
-# memory (~700 MB per 32-scene batch) when BATCH is overridden upward
-STEPS = max(4, min(8, 256 // BATCH))
+# one pre-generated device-resident batch per timed step; cap TOTAL staged
+# scenes (STEPS*BATCH <= 256 ~ 5.5 GB) so large BATCH overrides don't OOM
+STEPS = max(1, min(8, 256 // BATCH))
 NUM_VOCABS = 3433
 
 

@@ -75,22 +75,30 @@ class PretrainedGTDataset(_PretrainedBase):
                          scan2cad_rotation, K)
         self.hdf5_path = hdf5_path
         self.split = split
-        self.num_preset_epochs = num_preset_epochs
         self.K = K
         self._db = None
+        # cap the preset-epoch draw to what the database actually holds
+        # (extract_gt_features may have been run with fewer --epoch passes
+        # than the reference's canonical 100).  Done EAGERLY with a private
+        # handle: Loader worker threads race through _h5, and a thread could
+        # otherwise observe the uncapped value and draw a missing epoch.
+        self.num_preset_epochs = num_preset_epochs
+        if split == "train":
+            try:
+                import h5py
+                with h5py.File(hdf5_path, "r") as db:
+                    avail = {int(k.split("|", 1)[0]) for k in db.keys()
+                             if "|" in k}
+                if avail:
+                    self.num_preset_epochs = min(num_preset_epochs,
+                                                 max(avail) + 1)
+            except OSError:
+                pass                        # missing file fails later, loudly
 
     def _h5(self):
         import h5py
         if self._db is None:
             self._db = h5py.File(self.hdf5_path, "r", libver="latest", swmr=True)
-            # cap the preset-epoch draw to what the database actually holds
-            # (extract_gt_features may have been run with fewer --epoch passes
-            # than the reference's canonical 100)
-            avail = {int(k.split("|", 1)[0]) for k in self._db.keys()
-                     if "|" in k}
-            if avail:
-                self.num_preset_epochs = min(self.num_preset_epochs,
-                                             max(avail) + 1)
         return self._db
 
     def __getitem__(self, idx: int,

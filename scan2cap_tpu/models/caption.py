@@ -516,21 +516,15 @@ class TopDownSceneCaptionModule(nn.Module):
                 obj_loc = obj_loc + jnp.einsum(
                     "btlj,btjc->btlc", match, rel_all)
 
-            chunks = []
             # one scan over all K targets: the per-step working set is only
             # (B, K, L, ·) so the (B·kc, K, H) memory pressure that forced
             # eval_chunk on the full-K path is gone
-            step_k = K
-            for s in range(0, K, step_k):
-                kc = min(step_k, K - s)
-                sl = slice(s, s + kc)
-                chunks.append(self._decode_scene_local(
-                    _shard_targets(obj_feats[:, sl]),
-                    _shard_targets(sh_loc[:, sl]),
-                    _shard_targets(obj_loc[:, sl]),
-                    jnp.broadcast_to(sos[:, None], (B, kc, sos.shape[-1])),
-                    emb_table, T_dec))
-            d["lang_cap"] = jnp.concatenate(chunks, axis=1)
+            d["lang_cap"] = self._decode_scene_local(
+                _shard_targets(obj_feats),
+                _shard_targets(sh_loc),
+                _shard_targets(obj_loc),
+                jnp.broadcast_to(sos[:, None], (B, K, sos.shape[-1])),
+                emb_table, T_dec)
             d["valid_masks"] = all_valid
             return d
 

@@ -29,6 +29,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Force the pure-XLA implementation even on TPU.  Needed when tracing for
+# multi-platform jax.export: the Pallas kernel has no CPU lowering, so a
+# ("cpu", "tpu") artifact can only contain the XLA form (identical indices,
+# ~1.6x slower — acceptable for an exported serving artifact).
+FORCE_XLA_FPS = False
+
+
+def set_fps_implementation(impl: str) -> None:
+    """"auto" (Pallas on TPU) or "xla" (portable, export-safe)."""
+    global FORCE_XLA_FPS
+    assert impl in ("auto", "xla"), impl
+    FORCE_XLA_FPS = impl == "xla"
+
 
 def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     """Iterative furthest-point sampling.
@@ -46,7 +59,8 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     # indices are non-differentiable (pointnet2_utils.py:72-77); cut tangents
     # before the kernel — pallas_call has no JVP rule
     xyz = jax.lax.stop_gradient(xyz)
-    if jax.default_backend() == "tpu" and xyz.shape[1] >= 512:
+    if (not FORCE_XLA_FPS and jax.default_backend() == "tpu"
+            and xyz.shape[1] >= 512):
         from scan2cap_tpu.ops.pallas.fps import furthest_point_sample_pallas
         return furthest_point_sample_pallas(xyz, npoint)
     return _furthest_point_sample_xla(xyz, npoint)

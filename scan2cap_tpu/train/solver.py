@@ -151,7 +151,10 @@ class Solver:
             if it % self.verbose == 0:
                 mean_fetch = float(np.mean(fetch_times[-self.verbose:]))
                 mean_step = float(np.mean(step_times[-self.verbose:]))
-                eta = (total_iter - it) * (mean_fetch + mean_step)
+                # with the deferred pipeline, step_times already span a full
+                # iteration (the overlapped fetch included) — don't add
+                # mean_fetch again
+                eta = (total_iter - it) * mean_step
                 self._log(ITER_REPORT.format(
                     epoch=epoch + 1, total_epoch=total_epochs,
                     iter=it, total_iter=total_iter,
@@ -170,6 +173,9 @@ class Solver:
 
             # device trace of warm steps (skip the compile step)
             if self.profile_steps and self.global_iter == 1:
+                if pending is not None:
+                    consume(pending)      # drain: step 1 must finish before
+                    pending = None        # the trace starts
                 jax.profiler.start_trace(
                     os.path.join(self.output, "profile"))
             t0 = time.time()

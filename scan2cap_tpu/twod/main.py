@@ -73,6 +73,9 @@ def main():
         scanrefer_train = json.load(f)
 
     if args.prep:
+        if not (args.images_root and args.boxes):
+            raise SystemExit(
+                "--prep requires --images_root <renders> and --boxes <json>")
         # build the (viewpoint, box-source) feature database consumed by
         # TwoDDataset (Scan2Cap-2D/preprocessing; resnet extractor with an
         # offline random-projection fallback)

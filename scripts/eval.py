@@ -99,7 +99,13 @@ def evaluate(args):
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
     if args.use_pretrained and args.use_pretrained.endswith(".pth"):
         # detection eval of released VoteNet weights (reference
-        # scripts/eval.py --eval_pretrained + README.md:160-164)
+        # scripts/eval.py --eval_pretrained + README.md:160-164).  The .pth
+        # holds ONLY backbone/voting/proposal weights — the caption decoder
+        # would be random init, so caption eval is meaningless here.
+        if args.eval_caption:
+            raise SystemExit(
+                "--use_pretrained <.pth> mounts detection weights only; "
+                "combine it with --eval_detection, not --eval_caption")
         from scan2cap_tpu.convert import mount_detection_weights
         state = mount_detection_weights(state, args.use_pretrained)
     else:

@@ -82,7 +82,6 @@ def build_and_export(args):
         "ref_box_corner_label": np.zeros((B, 8, 3), np.float32),
         "glove_emb_table": np.asarray(train_ds.emb_table),
     }
-    import jax.numpy as jnp
     jexample = {k: jnp.asarray(v) for k, v in example.items()}
     state = create_train_state(cfg, model, jexample, jax.random.PRNGKey(0))
     restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
@@ -105,12 +104,17 @@ def build_and_export(args):
                 "sem_cls_scores": out["sem_cls_scores"]}
 
     # multi-platform lowering: the artifact runs on TPU serving fleets and
-    # CPU alike regardless of where it was exported.  NOTE: backend-dispatch
-    # choices (e.g. the Pallas FPS kernel vs its exact XLA fallback) are
-    # baked at trace time — export ON a TPU host to capture the Pallas
-    # kernels; semantics are identical either way
-    exp = jexport.export(jax.jit(serve), platforms=("cpu", "tpu"))(
-        jax.ShapeDtypeStruct((B, N, in_dim), jnp.float32))
+    # CPU alike regardless of where it was exported.  The Pallas FPS kernel
+    # has no CPU lowering, so the portable artifact must trace the exact
+    # XLA FPS form (identical indices, ~1.6x slower FPS stage) — force it
+    # for the export trace only.
+    from scan2cap_tpu.ops.sampling import set_fps_implementation
+    set_fps_implementation("xla")
+    try:
+        exp = jexport.export(jax.jit(serve), platforms=("cpu", "tpu"))(
+            jax.ShapeDtypeStruct((B, N, in_dim), jnp.float32))
+    finally:
+        set_fps_implementation("auto")
     out_path = args.out or os.path.join(folder, "model.stablehlo")
     with open(out_path, "wb") as f:
         f.write(exp.serialize())

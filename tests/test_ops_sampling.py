@@ -86,3 +86,20 @@ def test_fps_randomized_property(rng):
         want = fps_numpy(xyz, npoint)
         np.testing.assert_array_equal(
             got, want, err_msg=f"trial={trial} N={N} npoint={npoint}")
+
+
+def test_fps_implementation_toggle(rng):
+    # export-safe "xla" mode must route around the Pallas kernel and give
+    # identical indices (multi-platform jax.export can't lower Pallas on cpu)
+    from scan2cap_tpu.ops import sampling
+
+    xyz = jnp.asarray(rng.rand(2, 600, 3).astype(np.float32))
+    base = np.asarray(sampling.furthest_point_sample(xyz, 32))
+    sampling.set_fps_implementation("xla")
+    try:
+        assert sampling.FORCE_XLA_FPS
+        forced = np.asarray(sampling.furthest_point_sample(xyz, 32))
+    finally:
+        sampling.set_fps_implementation("auto")
+    assert not sampling.FORCE_XLA_FPS
+    np.testing.assert_array_equal(base, forced)
