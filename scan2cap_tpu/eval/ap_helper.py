@@ -30,14 +30,31 @@ def parse_predictions_device(data_dict: Dict) -> Dict:
     """Compute everything NMS/AP needs on device in one program.
 
     Requires the model outputs (bbox_corner, objectness_scores,
-    sem_cls_scores).  Returns {pred_mask, obj_prob, sem_cls_probs,
-    pred_sem_cls} — bbox_corner is already in data_dict.
+    sem_cls_scores) and the input point cloud.  Returns {pred_mask,
+    obj_prob, sem_cls_probs, pred_sem_cls} — bbox_corner is already in
+    data_dict.
     """
     obj_prob = jax.nn.softmax(data_dict["objectness_scores"], axis=-1)[..., 1]
     sem_probs = jax.nn.softmax(data_dict["sem_cls_scores"], axis=-1)
     pred_sem_cls = jnp.argmax(data_dict["sem_cls_scores"], axis=-1)
-    pred_mask = nms_3d(data_dict["bbox_corner"], obj_prob, pred_sem_cls,
-                       iou_threshold=0.25, same_cls=True)
+    corners = data_dict["bbox_corner"]
+    # remove_empty_box (ap_helper.py:89-106 via POST_DICT, scripts/eval.py):
+    # boxes containing <5 scene points are excluded from NMS and the output
+    # (AABB point-in-box test; the reference uses the convex hull of the
+    # same axis-aligned corners, so the predicate is identical)
+    if "point_clouds" in data_dict:
+        pc = data_dict["point_clouds"][..., :3]            # (B, N, 3)
+        lo = jnp.min(corners, axis=2)                      # (B, K, 3)
+        hi = jnp.max(corners, axis=2)
+        inside = jnp.all(
+            (pc[:, None, :, :] >= lo[:, :, None, :])
+            & (pc[:, None, :, :] <= hi[:, :, None, :]), axis=-1)
+        nonempty = jnp.sum(inside, axis=-1) >= 5           # (B, K)
+    else:
+        nonempty = jnp.ones(obj_prob.shape, bool)
+    pred_mask = nms_3d(corners, jnp.where(nonempty, obj_prob, -1.0),
+                       pred_sem_cls, iou_threshold=0.25, same_cls=True)
+    pred_mask = pred_mask & nonempty
     return {
         "pred_mask": pred_mask,
         "obj_prob": obj_prob,

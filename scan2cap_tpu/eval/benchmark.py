@@ -25,7 +25,26 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from scan2cap_tpu.eval.capeval import Bleu, Cider, Meteor, Rouge
-from scan2cap_tpu.eval.capeval.meteor import single_meteor_score
+from scan2cap_tpu.eval.capeval.meteor import (
+    single_meteor_score as _builtin_meteor)
+
+
+def _pick_sentence_meteor():
+    """The reference's dense-caption path scores with
+    nltk.translate.meteor_score (benchmark/eval_densecap.py:26), whose
+    synonym stage needs the wordnet corpus.  Use it when the data is
+    installed (exact reference parity for the absolute .15-.75 thresholds);
+    otherwise the built-in exact+stem scorer (scores run slightly lower —
+    see capeval/meteor.py)."""
+    try:
+        from nltk.translate.meteor_score import single_meteor_score as nm
+        nm("a b".split(), "a c".split())        # probes the wordnet lookup
+        return lambda ref, hyp: nm(ref.split(), hyp.split())
+    except Exception:
+        return _builtin_meteor
+
+
+single_meteor_score = _pick_sentence_meteor()
 from scan2cap_tpu.eval.ap_helper import (
     APCalculator, voc_ap, _aabb_iou_1_to_many)
 
@@ -261,6 +280,13 @@ def evaluate_detection(predictions: Dict, gts: Dict,
             continue
         preds = predictions[scene_id]
         boxes = preds["boxes"]                              # (M, 8, 3)
+        gt_list0 = [(int(gts[scene_id]["object_sems"][i]),
+                     gts[scene_id]["boxes"][i])
+                    for i in range(len(gts[scene_id]["boxes"]))]
+        if len(boxes) == 0:        # a scene can survive NMS with no preds
+            for c in calcs.values():
+                c.step([[]], [gt_list0])
+            continue
         obj_prob = preds["obj_prob"][:, 1]
         sem_prob = preds["sem_prob"]
         cls = sem_prob.argmax(-1)
@@ -399,11 +425,14 @@ def evaluate_dense_captioning(predictions: Dict, gts: Dict,
         if scene_id not in predictions:
             continue
         preds = predictions[scene_id]
+        gt_list = [(gts[scene_id]["boxes"][j], gts[scene_id]["captions"][j])
+                   for j in range(len(gts[scene_id]["boxes"]))]
+        if len(preds["boxes"]) == 0:
+            calc.step([[]], [gt_list])
+            continue
         obj_prob = preds["obj_prob"][:, 1]
         pred_list = [(preds["boxes"][j], float(obj_prob[j]),
                       preds["captions"][j]) for j in range(len(preds["boxes"]))]
-        gt_list = [(gts[scene_id]["boxes"][j], gts[scene_id]["captions"][j])
-                   for j in range(len(gts[scene_id]["boxes"]))]
         calc.step([pred_list], [gt_list])
     results = calc.compute_metrics()
     if verbose:

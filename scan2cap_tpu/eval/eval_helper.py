@@ -128,9 +128,10 @@ def feed_scene_cap(
     """Run eval over a loader and return the candidates dict."""
     candidates: Dict[str, List[str]] = {}
     idx2word = dataset.vocabulary["idx2word"]
+    emb_table = jnp.asarray(dataset.emb_table)   # upload ONCE (slow host link)
     for batch in loader:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        jbatch["glove_emb_table"] = jnp.asarray(dataset.emb_table)
+        jbatch["glove_emb_table"] = emb_table
         out = eval_step(state, jbatch)
         post = postprocess_scene_cap(out, jbatch, min_iou=min_iou,
                                      use_nms=use_nms)

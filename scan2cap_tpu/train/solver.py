@@ -108,7 +108,8 @@ class Solver:
             self.verbose = verbose
         total_iter = epochs * len(self.train_loader)
         start = time.time()
-        try:
+        epoch = 0          # the interrupt handler needs it bound even if
+        try:               # Ctrl-C lands before/after the loop body
             for epoch in range(epochs):
                 self._log(f"epoch {epoch + 1} starting...")
                 lr = (multistep_lr(self.cfg.train.lr, epoch,
@@ -146,6 +147,10 @@ class Solver:
 
         def consume(p):
             metrics, it, t_disp = p
+            # ONE host transfer for the whole (small) metrics pytree — each
+            # individual float() costs a full device round trip (~27 ms on
+            # this host link), and a verbose report reads ~20 scalars
+            metrics = jax.device_get(metrics)
             loss = float(metrics["loss"])         # sync with step it
             step_times.append(time.time() - t_disp)
             if it % self.verbose == 0:

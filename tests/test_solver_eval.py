@@ -147,3 +147,29 @@ def test_async_checkpoint_roundtrip(tmp_path):
     io2 = CheckpointIO(str(tmp_path / "ckpt"))
     out2 = io2.restore_best_or_last(tree)
     np.testing.assert_array_equal(out2["params"]["w"], tree["params"]["w"])
+
+
+def test_checkpoint_crash_safe_swap(tmp_path):
+    # saves go to <name>.new and swap in only after commit; a second save
+    # overwrites cleanly, and a simulated crash (leftover .old without the
+    # final dir) is recovered at construction
+    import os
+    import shutil
+    from scan2cap_tpu.train.checkpoints import CheckpointIO
+
+    root = tmp_path / "ckpt"
+    io = CheckpointIO(str(root))
+    t1 = {"params": {"w": np.ones((2, 2), np.float32)}}
+    t2 = {"params": {"w": np.full((2, 2), 7.0, np.float32)}}
+    io.save("last", t1)
+    io.save("last", t2)                       # overwrite path
+    out = io.restore("last", t1)
+    np.testing.assert_array_equal(out["params"]["w"], t2["params"]["w"])
+    assert not os.path.exists(root / "last.new")
+    assert not os.path.exists(root / "last.old")
+
+    # simulate a crash between the two swap renames: only .old remains
+    os.rename(root / "last", root / "last.old")
+    io2 = CheckpointIO(str(root))             # construction recovers it
+    out = io2.restore("last", t1)
+    np.testing.assert_array_equal(out["params"]["w"], t2["params"]["w"])
