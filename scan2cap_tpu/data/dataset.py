@@ -133,6 +133,7 @@ class ScannetReferenceDataset:
 
         self._load_scenes()
         self._multiview_db = None
+        self._db_lock = __import__("threading").Lock()
 
     # ------------------------------------------------------------------
     def _load_scenes(self):
@@ -150,8 +151,12 @@ class ScannetReferenceDataset:
     def _multiview(self, scene_id: str) -> np.ndarray:
         import h5py
         if self._multiview_db is None:
-            self._multiview_db = h5py.File(self.multiview_path, "r",
-                                           libver="latest", swmr=True)
+            # Loader worker THREADS race through here; double-checked lock
+            # so only one handle is ever opened (the loser would leak)
+            with self._db_lock:
+                if self._multiview_db is None:
+                    self._multiview_db = h5py.File(
+                        self.multiview_path, "r", libver="latest", swmr=True)
         return self._multiview_db[scene_id]
 
     def __len__(self):
@@ -402,8 +407,17 @@ class Loader:
         n = self._shard_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    # batches of decoded samples kept in flight ahead of the consumer;
+    # unbounded submission would hold EVERY epoch sample in memory (a
+    # Future retains its result) — tens of GB on the real train split
+    PREFETCH_BATCHES = 4
+
     def __iter__(self):
-        rs = np.random.RandomState(self.seed + self.epoch)
+        # consume the epoch on iterator CREATION: a consumer that breaks
+        # early must never replay the identical permutation/augmentations
+        epoch = self.epoch
+        self.epoch = epoch + 1
+        rs = np.random.RandomState(self.seed + epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rs.shuffle(order)
@@ -411,22 +425,29 @@ class Loader:
             order = order[self.shard_id::self.num_shards][:self._shard_size()]
         n_batches = len(self)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def submit(b):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            return [pool.submit(
+                self.dataset.__getitem__, int(i),
+                np.random.RandomState((self.seed + epoch) * 100003 + int(i)))
+                for i in idxs]
+
         try:
-            futures = []
+            from collections import deque
+            window = deque(submit(b)
+                           for b in range(min(self.PREFETCH_BATCHES,
+                                              n_batches)))
             for b in range(n_batches):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                futures.append([pool.submit(
-                    self.dataset.__getitem__, int(i),
-                    np.random.RandomState(
-                        (self.seed + self.epoch) * 100003 + int(i)))
-                    for i in idxs])
-            for fs in futures:
+                fs = window.popleft()
+                nxt = b + self.PREFETCH_BATCHES
+                if nxt < n_batches:
+                    window.append(submit(nxt))
                 samples = [f.result() for f in fs]
                 yield {k: np.stack([s[k] for s in samples])
                        for k in samples[0]}
         finally:
             pool.shutdown(wait=False)
-        self.epoch += 1
 
 
 def get_scanrefer(scanrefer_train_path: str, scanrefer_val_path: str,

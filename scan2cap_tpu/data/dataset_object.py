@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from scan2cap_tpu.config import MEAN_COLOR_RGB
-from scan2cap_tpu.data.dataset import DC_NYU2CLS, ScannetReferenceDataset
+from scan2cap_tpu.data.dataset import _get_3d_box_batch_np, DC_NYU2CLS, ScannetReferenceDataset
 from scan2cap_tpu.data.dataset_maskvotenet import _filter_object
 from scan2cap_tpu.utils.pc_utils import random_sampling, rotx, roty, rotz
 
@@ -117,10 +117,8 @@ class ScannetObjectDataset(ScannetReferenceDataset):
                 masks[i] = 1
                 ids[i] = oid
                 c, s = instance_bboxes[i, :3], instance_bboxes[i, 3:6]
-                sx = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * s[0] / 2
-                sy = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * s[1] / 2
-                sz = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * s[2] / 2
-                corners[i] = np.stack([sx, sy, sz], 1) + c
+                corners[i] = _get_3d_box_batch_np(
+                    s[None], np.zeros(1), c[None])[0]
             out.update({
                 "point_clouds": crops,
                 "object_cat": cats,

@@ -77,6 +77,7 @@ class PretrainedGTDataset(_PretrainedBase):
         self.split = split
         self.K = K
         self._db = None
+        self._db_lock = __import__("threading").Lock()
         # cap the preset-epoch draw to what the database actually holds
         # (extract_gt_features may have been run with fewer --epoch passes
         # than the reference's canonical 100).  Done EAGERLY with a private
@@ -98,7 +99,10 @@ class PretrainedGTDataset(_PretrainedBase):
     def _h5(self):
         import h5py
         if self._db is None:
-            self._db = h5py.File(self.hdf5_path, "r", libver="latest", swmr=True)
+            with self._db_lock:             # Loader threads race through here
+                if self._db is None:
+                    self._db = h5py.File(self.hdf5_path, "r",
+                                         libver="latest", swmr=True)
         return self._db
 
     def __getitem__(self, idx: int,
@@ -132,7 +136,14 @@ class PretrainedGTDataset(_PretrainedBase):
         bbox_idx = int(where[0]) if len(where) else 0
 
         lang_feat, lang_ids, lang_len = self._lang(entry)
-        rot, rot_mask = self._rotations(scene_id, object_ids)
+        # rotations only for the n REAL slots: padded ids are 0, and object
+        # id 0 usually exists in the Scan2CAD map, so passing the padded
+        # array would mark every pad slot as supervised with object-0's
+        # rotation (the reference iterates only unpadded ids,
+        # lib/dataset_pretrained.py:631)
+        rot = np.zeros((K, 3, 3), np.float32)
+        rot_mask = np.zeros((K,), np.int32)
+        rot[:n], rot_mask[:n] = self._rotations(scene_id, object_ids[:n])
 
         return {
             "bbox_feature": bbox_feature,
@@ -163,11 +174,15 @@ class PretrainedVoteNetDataset(_PretrainedBase):
         self.K = K
         self.max_gt = max_gt
         self._db = None
+        self._db_lock = __import__("threading").Lock()
 
     def _h5(self):
         import h5py
         if self._db is None:
-            self._db = h5py.File(self.hdf5_path, "r", libver="latest", swmr=True)
+            with self._db_lock:             # Loader threads race through here
+                if self._db is None:
+                    self._db = h5py.File(self.hdf5_path, "r",
+                                         libver="latest", swmr=True)
         return self._db
 
     def __getitem__(self, idx: int,
@@ -218,7 +233,10 @@ class PretrainedVoteNetDataset(_PretrainedBase):
         gt_box_ids[:Mg] = gt_ids[:Mg]
 
         lang_feat, lang_ids, lang_len = self._lang(entry)
-        rot, rot_mask = self._rotations(scene_id, prop_object_ids)
+        # same padded-slot gating as the GT dataset above
+        rot = np.zeros((K, 3, 3), np.float32)
+        rot_mask = np.zeros((K,), np.int32)
+        rot[:P], rot_mask[:P] = self._rotations(scene_id, prop_object_ids[:P])
 
         return {
             "bbox_feature": bbox_feature,

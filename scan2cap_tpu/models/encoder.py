@@ -32,8 +32,10 @@ class PointnetEncoder(nn.Module):
             xyz = pc_flat[..., :3]
             features = pc_flat[..., 3:] if pc_flat.shape[-1] > 3 else None
             np1, np2, np3, np4 = self.sa_npoints
+            # encoder inputs are raw object crops (autodiff leaves) —
+            # scatter-free backward applies exactly as in the backbone
             xyz, features, _ = PointnetSAModuleVotes(
-                np1, 0.2, 64, (64, 64, 128), name="sa1")(
+                np1, 0.2, 64, (64, 64, 128), leaf_inputs=True, name="sa1")(
                     xyz, features, None, train, bn_momentum)
             xyz, features, _ = PointnetSAModuleVotes(
                 np2, 0.4, 32, (128, 128, 256), name="sa2")(

@@ -78,11 +78,13 @@ class Bottleneck(nn.Module):
                         padding=((k // 2, k // 2), (0, 0)),
                         use_bias=False, name="conv_a")(h)
             h = nn.Conv(self.internal, (1, k),
-                        padding=((0, 0), (k // 2, k // 2)), name="conv_b")(h)
+                        padding=((0, 0), (k // 2, k // 2)),
+                        use_bias=False, name="conv_b")(h)
         else:
             d = self.dilation
             h = nn.Conv(self.internal, (3, 3), padding=((d, d), (d, d)),
-                        kernel_dilation=(d, d), name="conv")(h)
+                        kernel_dilation=(d, d), use_bias=False,
+                        name="conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, name="bn2")(h)
         h = PReLU(self.internal, name="prelu2")(h)

@@ -149,11 +149,15 @@ class GCNConvDense(nn.Module):
         # restrict to valid x valid, add self loops on valid nodes
         a = adj * valid[:, :, None] * valid[:, None, :]
         a = a + jnp.eye(K)[None] * valid[:, :, None]
-        # message flows i -> j: in-degree at j = sum_i a[i, j]
-        deg_out = jnp.sum(a, axis=2)
+        # message flows i -> j.  torch_geometric's gcn_norm computes ONE
+        # degree vector — the in-degree (scatter over the target column) —
+        # and uses it for BOTH endpoints: norm(i->j) = d_in(i)^-1/2 *
+        # d_in(j)^-1/2.  The local-neighbor adjacency is asymmetric, so
+        # using the out-degree at the source would diverge from the
+        # reference on every real graph.
         deg_in = jnp.sum(a, axis=1)
-        norm = (jax.lax.rsqrt(jnp.maximum(deg_out, 1e-12))[:, :, None]
-                * jax.lax.rsqrt(jnp.maximum(deg_in, 1e-12))[:, None, :]) * a
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg_in, 1e-12))
+        norm = (inv_sqrt[:, :, None] * inv_sqrt[:, None, :]) * a
         h = nn.Dense(self.out_size, name="lin")(x)
         out = jnp.einsum("bij,bic->bjc", norm, h)
         bias = self.param("bias", nn.initializers.zeros, (self.out_size,))

@@ -215,3 +215,24 @@ def test_dataset_handles_unannotated_test_scene(tmp_path, rng):
     assert s["point_clouds"].shape == (512, 3)
     assert int(s["gt_box_masks"].sum()) == 0
     assert np.isfinite(s["point_clouds"]).all()
+
+
+def test_loader_early_break_does_not_replay(tmp_path, rng):
+    # breaking out of an epoch must still consume it: the next pass draws a
+    # fresh permutation (no silently correlated epochs)
+    class _Toy:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i, rs=None):
+            return {"idx": np.int32(i)}
+
+    from scan2cap_tpu.data.dataset import Loader
+    ld = Loader(_Toy(), batch_size=2, shuffle=True, seed=5)
+    first = []
+    for b in ld:                       # break after one batch
+        first.append([int(v) for v in b["idx"]])
+        break
+    second = [[int(v) for v in b["idx"]] for b in ld]
+    assert ld.epoch == 2
+    assert first[0] != second[0]       # different permutation

@@ -119,3 +119,34 @@ def test_dense_graph_matches_reference_equations(rng):
                 else:
                     np.testing.assert_allclose(efeat[b, i, l], 0.0, atol=1e-6)
     assert checked > 5
+
+
+def test_gcn_norm_matches_pyg_semantics(rng):
+    # torch_geometric gcn_norm: ONE degree vector (in-degree of A+I) used
+    # for both endpoints: norm(i->j) = d(i)^-1/2 * d(j)^-1/2
+    from scan2cap_tpu.models.graph import GCNConvDense
+
+    B, K, C, O = 1, 5, 4, 3
+    adj = np.zeros((B, K, K), np.float32)
+    adj[0, 0, 1] = 1          # asymmetric: 0->1 but not 1->0
+    adj[0, 2, 1] = 1
+    adj[0, 3, 4] = 1
+    valid = np.ones((B, K), np.float32)
+    x = rng.randn(B, K, C).astype(np.float32)
+
+    mod = GCNConvDense(out_size=O)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(adj), jnp.asarray(valid))
+    out = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(adj),
+                               jnp.asarray(valid)))
+
+    a = adj[0] + np.eye(K, dtype=np.float32)
+    deg = a.sum(0)                                  # in-degree
+    inv = 1.0 / np.sqrt(deg)
+    norm = inv[:, None] * inv[None, :] * a
+    W = np.asarray(variables["params"]["lin"]["kernel"])
+    b_lin = np.asarray(variables["params"]["lin"]["bias"])
+    bias = np.asarray(variables["params"]["bias"])
+    h = x[0] @ W + b_lin
+    want = norm.T @ h + bias                        # out[j] = sum_i norm(i,j) h[i]
+    np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-6)
