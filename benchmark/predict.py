@@ -39,7 +39,7 @@ def predict_caption(args):
     from scan2cap_tpu.train import create_train_state, make_eval_step
     from scan2cap_tpu.train.checkpoints import CheckpointIO
     from scan2cap_tpu.eval.eval_helper import decode_caption
-    from scan2cap_tpu.ops.nms import nms_3d
+    from scan2cap_tpu.eval.ap_helper import parse_predictions_device
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                     "scripts"))
@@ -98,9 +98,13 @@ def predict_caption(args):
         out = eval_step(state, jbatch)
         obj_prob = jax.nn.softmax(out["objectness_scores"], axis=-1)
         sem_prob = jax.nn.softmax(out["sem_cls_scores"], axis=-1)
-        cls = jnp.argmax(out["sem_cls_scores"], axis=-1)
-        keep = nms_3d(out["bbox_corner"], obj_prob[..., 1], cls, 0.25, True)
-        keep = np.asarray(keep & (jnp.argmax(out["objectness_scores"], -1) == 1))
+        # remove_empty_box + class-NMS on device (the reference's POST_DICT
+        # path, benchmark/predict.py:161-192): the input cloud must be wired
+        # through since eval_step's keep_keys drop it
+        parsed = parse_predictions_device(
+            {**out, "point_clouds": jbatch["point_clouds"]})
+        keep = np.asarray(parsed["pred_mask"]
+                          & (jnp.argmax(out["objectness_scores"], -1) == 1))
         corners = np.asarray(out["bbox_corner"])
         caps = np.asarray(out["lang_cap"])
         obj_prob = np.asarray(obj_prob)

@@ -39,12 +39,16 @@ def _pick_sentence_meteor():
     try:
         from nltk.translate.meteor_score import single_meteor_score as nm
         nm("a b".split(), "a c".split())        # probes the wordnet lookup
-        return lambda ref, hyp: nm(ref.split(), hyp.split())
+        return (lambda ref, hyp: nm(ref.split(), hyp.split())), "nltk-wordnet"
     except Exception:
-        return _builtin_meteor
+        return _builtin_meteor, "builtin-exact-stem"
 
 
-single_meteor_score = _pick_sentence_meteor()
+# Which sentence-METEOR scorer dense captioning uses is part of the result:
+# the absolute .15-.75 grid thresholds are calibrated to the full (wordnet)
+# scorer, so runs from different environments are only comparable when the
+# backend matches.  It is recorded in every densecap results dict.
+single_meteor_score, SENTENCE_METEOR_BACKEND = _pick_sentence_meteor()
 from scan2cap_tpu.eval.ap_helper import (
     APCalculator, voc_ap, _aabb_iou_1_to_many)
 
@@ -435,8 +439,10 @@ def evaluate_dense_captioning(predictions: Dict, gts: Dict,
                       preds["captions"][j]) for j in range(len(preds["boxes"]))]
         calc.step([pred_list], [gt_list])
     results = calc.compute_metrics()
+    results["meteor_backend"] = SENTENCE_METEOR_BACKEND
     if verbose:
-        print(f"--- dense captioning mAP: {results['mAP']:.4f}")
+        print(f"--- dense captioning mAP: {results['mAP']:.4f} "
+              f"(sentence-METEOR backend: {SENTENCE_METEOR_BACKEND})")
     return results
 
 

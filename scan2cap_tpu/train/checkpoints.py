@@ -62,9 +62,18 @@ class CheckpointIO:
         for name in os.listdir(self.root):
             if name.endswith(".old"):
                 final = os.path.join(self.root, name[:-4])
+                new = final + ".new"
                 if os.path.exists(final):
                     shutil.rmtree(os.path.join(self.root, name))
-                else:                      # crashed between renames
+                elif os.path.exists(new):
+                    # crashed between rename(path, old) and rename(new, path):
+                    # the swap only starts after .new is fully committed, so
+                    # .new is both complete and NEWER than .old — promote it
+                    # (restoring .old here would silently lose the freshest
+                    # committed checkpoint to the next save's rmtree)
+                    os.rename(new, final)
+                    shutil.rmtree(os.path.join(self.root, name))
+                else:                      # crashed before .new ever landed
                     os.rename(os.path.join(self.root, name), final)
 
     def _path(self, name: str) -> str:

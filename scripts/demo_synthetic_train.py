@@ -88,7 +88,9 @@ def main():
     # held-out synthetic batch -> detection mAP
     eval_step = make_eval_step(cfg, model)
     out = eval_step(state, jbatches[-1])
-    parsed = jax.device_get(parse_predictions_device(out))
+    # include the input cloud so the remove_empty_box filter is active
+    parsed = jax.device_get(parse_predictions_device(
+        {**out, "point_clouds": jbatches[-1]["point_clouds"]}))
     preds = assemble_pred_map_cls(np.asarray(out["bbox_corner"]), parsed)
     gts = parse_groundtruths(batches[-1])
     calc = APCalculator(0.25)

@@ -146,7 +146,10 @@ def evaluate(args):
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             jbatch["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
             out = eval_step(state, jbatch)
-            parsed = jax.device_get(parse_predictions_device(out))
+            # point_clouds is not in the eval_step keep_keys; wire the input
+            # cloud through so remove_empty_box (POST_DICT parity) is active
+            parsed = jax.device_get(parse_predictions_device(
+                {**out, "point_clouds": jbatch["point_clouds"]}))
             preds = assemble_pred_map_cls(
                 np.asarray(out["bbox_corner"]), parsed)
             gts = parse_groundtruths(batch)

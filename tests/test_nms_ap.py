@@ -158,3 +158,35 @@ def test_metric_util_precision_recall(rng):
         label_mask=np.ones((1, 2)), pred_mask=np.ones((1, 4)))
     assert (TP, FP, FN) == (2, 1, 1)
     assert abs(prec - 2 / 3) < 1e-9 and abs(rec - 2 / 3) < 1e-9
+
+
+def test_parse_predictions_remove_empty_box():
+    """Boxes containing <5 scene points are excluded (POST_DICT
+    remove_empty_box=True, lib/ap_helper.py:89-106); without point_clouds
+    the filter falls back to all-ones."""
+    from scan2cap_tpu.eval.ap_helper import parse_predictions_device
+
+    B, K, N = 1, 3, 64
+    # box 0 around origin (all points inside), box 1 far away (empty),
+    # box 2 containing exactly 4 points (below the >=5 threshold)
+    corners = np.stack([
+        _corners([-1, -1, -1], [1, 1, 1]),
+        _corners([50, 50, 50], [51, 51, 51]),
+        _corners([9.9, 9.9, 9.9], [10.1, 10.1, 10.1]),
+    ])[None].astype(np.float32)
+    pc = np.random.RandomState(0).uniform(-0.9, 0.9, (B, N, 3)).astype(np.float32)
+    pc[0, :4] = 10.0  # 4 points in box 2
+    data = {
+        "bbox_corner": jnp.asarray(corners),
+        "objectness_scores": jnp.asarray(np.tile([[0.0, 5.0]], (B, K, 1)).reshape(B, K, 2).astype(np.float32)),
+        "sem_cls_scores": jnp.asarray(np.zeros((B, K, 18), np.float32)),
+        "point_clouds": jnp.asarray(pc),
+    }
+    parsed = parse_predictions_device(data)
+    mask = np.asarray(parsed["pred_mask"][0])
+    assert mask[0] and not mask[1] and not mask[2]
+
+    # without point_clouds the filter is inert (all candidates survive NMS)
+    parsed2 = parse_predictions_device({k: v for k, v in data.items()
+                                        if k != "point_clouds"})
+    assert np.asarray(parsed2["pred_mask"][0]).all()

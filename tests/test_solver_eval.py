@@ -173,3 +173,28 @@ def test_checkpoint_crash_safe_swap(tmp_path):
     io2 = CheckpointIO(str(root))             # construction recovers it
     out = io2.restore("last", t1)
     np.testing.assert_array_equal(out["params"]["w"], t2["params"]["w"])
+
+
+def test_checkpoint_crash_recovery_prefers_committed_new(tmp_path):
+    # crash exactly between rename(path, old) and rename(new, path): both
+    # <name>.old (older) and a fully-committed <name>.new (newer) exist and
+    # the final dir is missing — recovery must promote .new, not resurrect
+    # .old (which would discard the freshest committed checkpoint)
+    import os
+    from scan2cap_tpu.train.checkpoints import CheckpointIO
+
+    root = tmp_path / "ckpt"
+    io = CheckpointIO(str(root))
+    t_old = {"params": {"w": np.ones((2, 2), np.float32)}}
+    t_new = {"params": {"w": np.full((2, 2), 9.0, np.float32)}}
+    io.save("last", t_old)
+    io.save("stage", t_new)
+    # rebuild the exact mid-swap disk state
+    os.rename(root / "last", root / "last.old")
+    os.rename(root / "stage", root / "last.new")
+
+    io2 = CheckpointIO(str(root))             # construction recovers
+    out = io2.restore("last", t_old)
+    np.testing.assert_array_equal(out["params"]["w"], t_new["params"]["w"])
+    assert not os.path.exists(root / "last.old")
+    assert not os.path.exists(root / "last.new")
