@@ -102,6 +102,107 @@ def convert_votenet_checkpoint(pth_path: str) -> Tuple[dict, dict]:
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# ENet (scannetv2_enet.pth) — the multiview-feature trunk
+# ---------------------------------------------------------------------------
+#
+# The reference rebuilds a torch7-exported ENet as a flat nn.Sequential of 27
+# top-level modules (lib/enet.py:130-694) and create_enet_for_3d truncates it
+# into fixed(0-17) + trainable(18-25) + classifier(26) (enet.py:697-715).
+# state_dict key layout (Lambda* subclasses nn.Sequential, so children are
+# named by index):
+#   0.0.{weight,bias}       initial 3->13 conv        (branch 1 = maxpool)
+#   2.* / 3.weight          initial BN(16) / PReLU(16)
+#   m in 4..25: one bottleneck each —
+#     m.0.0.0.weight        proj conv (1x1, or 2x2/2 when downsampling), no bias
+#     m.0.0.1.* / 2.weight  bn1 / prelu1
+#     regular/dilated:  m.0.0.3.{weight,bias} core 3x3 conv (HAS bias),
+#                       m.0.0.4.* bn2, 5 prelu2, 6 expand, 7 bn3
+#     asymmetric:       m.0.0.3.weight 1x5 conv (no bias),
+#                       m.0.0.4.{weight,bias} 5x1 conv (HAS bias),
+#                       m.0.0.5.* bn2, 6 prelu2, 7 expand, 8 bn3
+#     m.2.weight            prelu_out
+#   26.0.weight             1x1 classifier conv, no bias
+#
+# This framework's ENet keeps every pre-BN conv bias-free: a constant bias
+# feeding a BatchNorm is a no-op in train mode (the batch mean absorbs it)
+# and equals shifting running_mean in eval mode — so the converter folds
+# torch's core-conv biases into the following BN's running_mean exactly.
+
+# (dilation, asym) sequence of stages 2 and 3 (mirrors models/enet.py)
+_ENET_STAGE2 = [(1, 0), (2, 0), (1, 5), (4, 0), (1, 0), (8, 0), (1, 5), (16, 0)]
+
+
+def _conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 1, 0)).copy()
+
+
+def _convert_bn_folded(sd, prefix, params, stats, base, fold_bias=None):
+    _set(params, base + ("scale",), sd[prefix + ".weight"])
+    _set(params, base + ("bias",), sd[prefix + ".bias"])
+    mean = sd[prefix + ".running_mean"]
+    if fold_bias is not None:
+        mean = mean - fold_bias
+    _set(stats, base + ("mean",), mean)
+    _set(stats, base + ("var",), sd[prefix + ".running_var"])
+
+
+def convert_enet_checkpoint(pth_path: str, include_classifier: bool = False
+                            ) -> Tuple[dict, dict]:
+    """Map the reference's scannetv2_enet.pth onto ENetEncoder (or, with
+    ``include_classifier``, ENetClassifier) — returns (params, batch_stats)."""
+    sd = _load_state_dict(pth_path)
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, ("initial", "conv", "kernel"), _conv2d_kernel(sd["0.0.weight"]))
+    _set(params, ("initial", "conv", "bias"), sd["0.0.bias"])
+    _convert_bn_folded(sd, "2", params, stats, ("initial", "bn"))
+    _set(params, ("initial", "prelu", "alpha"), sd["3.weight"])
+
+    blocks = [(4 + i, f"b1_{i}", False) for i in range(5)]
+    blocks += [(9, "b2_0", False)]
+    blocks += [(10 + i, f"b2_{i + 1}", asym != 0)
+               for i, (_, asym) in enumerate(_ENET_STAGE2)]
+    blocks += [(18 + i, f"b3_{i + 1}", asym != 0)
+               for i, (_, asym) in enumerate(_ENET_STAGE2)]
+
+    for m, name, asym in blocks:
+        pre = f"{m}.0.0"
+        base = (name,)
+        _set(params, base + ("proj", "kernel"),
+             _conv2d_kernel(sd[f"{pre}.0.weight"]))
+        _convert_bn_folded(sd, f"{pre}.1", params, stats, base + ("bn1",))
+        _set(params, base + ("prelu1", "alpha"), sd[f"{pre}.2.weight"])
+        if asym:
+            _set(params, base + ("conv_a", "kernel"),
+                 _conv2d_kernel(sd[f"{pre}.3.weight"]))
+            _set(params, base + ("conv_b", "kernel"),
+                 _conv2d_kernel(sd[f"{pre}.4.weight"]))
+            core_bias = sd.get(f"{pre}.4.bias")
+            off = 1
+        else:
+            _set(params, base + ("conv", "kernel"),
+                 _conv2d_kernel(sd[f"{pre}.3.weight"]))
+            core_bias = sd.get(f"{pre}.3.bias")
+            off = 0
+        _convert_bn_folded(sd, f"{pre}.{4 + off}", params, stats,
+                           base + ("bn2",), fold_bias=core_bias)
+        _set(params, base + ("prelu2", "alpha"), sd[f"{pre}.{5 + off}.weight"])
+        _set(params, base + ("expand", "kernel"),
+             _conv2d_kernel(sd[f"{pre}.{6 + off}.weight"]))
+        _convert_bn_folded(sd, f"{pre}.{7 + off}", params, stats,
+                           base + ("bn3",))
+        _set(params, base + ("prelu_out", "alpha"), sd[f"{m}.2.weight"])
+
+    if include_classifier:
+        cls_kernel = _conv2d_kernel(sd["26.0.weight"])
+        params = {"encoder": params, "classifier": {"kernel": cls_kernel}}
+        stats = {"encoder": stats}
+    return params, stats
+
+
 def mount_detection_weights(state, pth_path: str):
     """Warm-start a TrainState's detection submodules from a released
     VoteNet .pth (the reference mounts backbone/vgen/proposal by attribute

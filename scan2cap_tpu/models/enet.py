@@ -73,12 +73,15 @@ class Bottleneck(nn.Module):
         h = PReLU(self.internal, name="prelu1")(h)
 
         if self.asymmetric:
+            # 1xk then kx1, the reference's order (enet.py:310-312) — the
+            # pair is linear but zero-padding makes the composition
+            # order-sensitive at borders, so checkpoint parity needs it
             k = self.asymmetric
-            h = nn.Conv(self.internal, (k, 1),
-                        padding=((k // 2, k // 2), (0, 0)),
-                        use_bias=False, name="conv_a")(h)
             h = nn.Conv(self.internal, (1, k),
                         padding=((0, 0), (k // 2, k // 2)),
+                        use_bias=False, name="conv_a")(h)
+            h = nn.Conv(self.internal, (k, 1),
+                        padding=((k // 2, k // 2), (0, 0)),
                         use_bias=False, name="conv_b")(h)
         else:
             d = self.dilation
@@ -136,7 +139,9 @@ class ENetClassifier(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         feat = ENetEncoder(name="encoder")(x, train)
-        logits = nn.Conv(self.num_classes, (1, 1), name="classifier")(feat)
+        # bias-free like the reference head (enet.py:588-590)
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                         name="classifier")(feat)
         return feat, logits
 
 

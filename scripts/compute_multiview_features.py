@@ -23,17 +23,31 @@ def parse_args():
     p.add_argument("--out_root", type=str, required=True)
     p.add_argument("--ckpt", type=str, default=None,
                    help="orbax checkpoint of a trained ENet (optional)")
+    p.add_argument("--enet_pth", type=str, default=None,
+                   help="the reference's scannetv2_enet.pth — converted via "
+                        "convert_enet_checkpoint for reference-equal features")
     p.add_argument("--batch_size", type=int, default=64)
     return p.parse_args()
 
 
 def load_image(path, size=(328, 256)):
+    """Aspect-preserving resize (NEAREST) + center crop + ScanNet-stats
+    normalization, exactly the reference's _resize_crop_image/_load_image
+    (scripts/compute_multiview_features.py:59-79)."""
+    import math
+
     from PIL import Image
-    img = Image.open(path).convert("RGB").resize(size)
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    new_w, new_h = size
+    if (w, h) != (new_w, new_h):
+        resize_width = int(math.floor(new_h * float(w) / float(h)))
+        img = img.resize((resize_width, new_h), Image.NEAREST)
+        left = (resize_width - new_w) // 2
+        img = img.crop((left, 0, left + new_w, new_h))
     arr = np.asarray(img, np.float32) / 255.0
-    # ENet normalization (scripts/compute_multiview_features.py transforms)
-    mean = np.array([0.485, 0.456, 0.406], np.float32)
-    std = np.array([0.229, 0.224, 0.225], np.float32)
+    mean = np.array([0.496342, 0.466664, 0.440796], np.float32)
+    std = np.array([0.277856, 0.28623, 0.291129], np.float32)
     return (arr - mean) / std
 
 
@@ -48,7 +62,11 @@ def main():
     dummy = jnp.zeros((1, 256, 328, 3))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), dummy, train=False)
-    if args.ckpt:
+    if args.enet_pth:
+        from scan2cap_tpu.convert import convert_enet_checkpoint
+        params, stats = convert_enet_checkpoint(args.enet_pth)
+        variables = {"params": params, "batch_stats": stats}
+    elif args.ckpt:
         variables = CheckpointIO(args.ckpt).restore("best", dict(variables))
 
     @jax.jit
