@@ -41,7 +41,8 @@ def _pick_sentence_meteor():
         nm("a b".split(), "a c".split())        # probes the wordnet lookup
         return (lambda ref, hyp: nm(ref.split(), hyp.split())), "nltk-wordnet"
     except Exception:
-        return _builtin_meteor, "builtin-exact-stem"
+        from scan2cap_tpu.eval.capeval.meteor import METEOR_BACKEND
+        return _builtin_meteor, METEOR_BACKEND
 
 
 # Which sentence-METEOR scorer dense captioning uses is part of the result:

@@ -5,11 +5,18 @@ Two backends:
     protocol the reference uses (lib/capeval/meteor/meteor.py:15-45);
     used automatically when a jar path is supplied/found.
   * ``Meteor`` (default) — pure-Python METEOR with exact + Porter-stem
-    matching stages and the standard parameters (alpha=0.9, beta=3,
-    gamma=0.5; Banerjee & Lavie / Denkowski & Lavie).  This omits the
-    jar's WordNet-synonym and paraphrase stages (no WordNet data offline),
-    so absolute values run slightly lower than meteor-1.5 — the relative
-    ordering is preserved.  Multiple references: max over references.
+    (+ WordNet-synonym, when the nltk wordnet corpus is installed) matching
+    stages and the standard parameters (alpha=0.9, beta=3, gamma=0.5;
+    Banerjee & Lavie / Denkowski & Lavie).  Without WordNet data the
+    synonym and paraphrase stages are absent, so absolute values run
+    slightly lower than meteor-1.5 (fewer matches can only lower the
+    F-mean) — the relative ordering is preserved.  Multiple references:
+    max over references.
+
+Which stages scored a run is exposed as ``METEOR_BACKEND`` / the scorer's
+``.backend`` attribute and recorded by every metrics consumer — scores
+from different backends are not comparable against the absolute
+meteor-calibrated thresholds (benchmark densecap grid .15-.75).
 """
 
 from __future__ import annotations
@@ -31,31 +38,52 @@ except Exception:  # pragma: no cover
     def _stem(w: str) -> str:
         return w
 
+# WordNet-synonym matching stage (meteor-1.5's third module): active when
+# the nltk wordnet corpus is installed on this host.  Which stages scored a
+# run is part of the result — see METEOR_BACKEND.
+try:
+    from nltk.corpus import wordnet as _wn
+    _wn.synsets("dog")                      # probes the corpus data
+    _HAS_WORDNET = True
+except Exception:
+    _wn = None
+    _HAS_WORDNET = False
+
+METEOR_BACKEND = ("builtin-exact-stem-wordnet" if _HAS_WORDNET
+                  else "builtin-exact-stem")
+
 ALPHA = 0.9
 BETA = 3.0
 GAMMA = 0.5
 
 
+def _syn_match(a: str, b: str) -> bool:
+    """True iff the words share a WordNet synset (meteor-1.5 synonymy)."""
+    sa = set(_wn.synsets(a))
+    return bool(sa) and any(s in sa for s in _wn.synsets(b))
+
+
 def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Greedy two-stage (exact, stem) alignment: each hyp token matches the
-    earliest unmatched ref token."""
+    """Greedy staged (exact, stem[, wordnet-synonym]) alignment: each hyp
+    token matches the earliest unmatched ref token."""
     matches: List[Tuple[int, int]] = []
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
 
-    def stage(key_fn):
+    def stage(match_fn):
         for i, hw in enumerate(hyp):
             if used_h[i]:
                 continue
-            hk = key_fn(hw)
             for j, rw in enumerate(ref):
-                if not used_r[j] and key_fn(rw) == hk:
+                if not used_r[j] and match_fn(hw, rw):
                     used_h[i] = used_r[j] = True
                     matches.append((i, j))
                     break
 
-    stage(lambda w: w)
-    stage(_stem)
+    stage(lambda a, b: a == b)
+    stage(lambda a, b: _stem(a) == _stem(b))
+    if _HAS_WORDNET:
+        stage(_syn_match)
     matches.sort()
     return matches
 
@@ -91,6 +119,8 @@ def single_meteor_score(ref: str, hyp: str) -> float:
 class Meteor:
     """Pure-Python backend with the coco compute_score API."""
 
+    backend = METEOR_BACKEND
+
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
         assert set(gts.keys()) == set(res.keys())
         scores = np.asarray([
@@ -115,6 +145,8 @@ def find_meteor_jar() -> Optional[str]:
 
 class MeteorJava:
     """meteor-1.5.jar stdio driver (protocol of the original coco wrapper)."""
+
+    backend = "java-meteor-1.5"
 
     def __init__(self, jar: Optional[str] = None):
         self.jar = jar or find_meteor_jar()

@@ -165,9 +165,13 @@ def score_captions(corpus: Dict, candidates: Dict,
     rouge = Rouge().compute_score(corpus, candidates)
     if use_meteor_jar:
         from scan2cap_tpu.eval.capeval.meteor import MeteorJava
-        meteor = MeteorJava().compute_score(corpus, candidates)
+        scorer = MeteorJava()
     else:
-        meteor = Meteor().compute_score(corpus, candidates)
+        scorer = Meteor()
+    meteor = scorer.compute_score(corpus, candidates)
+    # which matcher stages scored METEOR is part of the result — absolute
+    # values are only comparable across runs with the same backend
+    print(f"[score_captions] METEOR backend: {scorer.backend}")
     return bleu, cider, rouge, meteor
 
 

@@ -125,3 +125,58 @@ def test_meteor_stemming_matches():
     s_partial = single_meteor_score("the chairs are red", "the sofa is red")
     s_none = single_meteor_score("the chairs are red", "blue table")
     assert s_exact == s_stem > s_partial > s_none == 0.0
+
+
+def test_meteor_backend_and_pinned_corpus():
+    """Pinned-corpus METEOR fixture: anchors the builtin exact+stem scorer
+    and documents the backend contract.  When the nltk wordnet corpus is
+    installed the synonym stage activates (backend string changes and
+    scores can only go UP — extra matches only add to the F-mean), so the
+    pins are exact without wordnet and lower bounds with it."""
+    from scan2cap_tpu.eval.capeval.meteor import (
+        _HAS_WORDNET, METEOR_BACKEND, Meteor, single_meteor_score)
+
+    corpus = {
+        "k1": ["sos this is a brown chair near the door eos",
+               "sos a chair beside the doorway eos"],
+        "k2": ["sos the table is white and round eos"],
+        "k3": ["sos a large sofa sits against the wall eos"],
+    }
+    cands = {
+        "k1": ["sos this is a brown seat near the door eos"],
+        "k2": ["sos the desk is white and circular eos"],
+        "k3": ["sos sos eos"],
+    }
+    scorer = Meteor()
+    mean, per = scorer.compute_score(corpus, cands)
+    pinned = np.array([0.8950617284, 0.703125, 0.119047619])
+    if not _HAS_WORDNET:
+        assert METEOR_BACKEND == "builtin-exact-stem" == scorer.backend
+        np.testing.assert_allclose(per, pinned, atol=1e-9)
+        np.testing.assert_allclose(mean, 0.5724114491475603, atol=1e-12)
+    else:
+        assert METEOR_BACKEND == "builtin-exact-stem-wordnet"
+        assert (per >= pinned - 1e-9).all()   # synonymy only adds matches
+
+    assert single_meteor_score("a b c d", "a b c d") == pytest.approx(
+        0.9921875)                            # 1-chunk penalty gamma*(1/m)^3
+    assert single_meteor_score("a b", "c d") == 0.0
+
+
+def test_meteor_backend_recorded_in_densecap_results():
+    from scan2cap_tpu.eval import benchmark as bm
+
+    gts = {"scene0000_00": {
+        "captions": [["sos a red chair eos"]],
+        "boxes": np.array([[[0, 0, 0]] * 4 + [[1, 1, 1]] * 4], float),
+        "object_ids": np.array([3]),
+        "object_sems": np.array([4]),
+    }}
+    preds = {"scene0000_00": {
+        "captions": ["sos a red chair eos"],
+        "boxes": gts["scene0000_00"]["boxes"].copy(),
+        "sem_prob": np.ones((1, 18)) / 18.0,
+        "obj_prob": np.array([[0.1, 0.9]]),
+    }}
+    res = bm.evaluate_dense_captioning(preds, gts, verbose=False)
+    assert res["meteor_backend"] == bm.SENTENCE_METEOR_BACKEND
