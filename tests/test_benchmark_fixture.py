@@ -1,0 +1,117 @@
+"""Checked-in real-format metric mini-fixture with pinned values.
+
+tests/fixtures/benchmark_mini/ holds a hand-designed 2-scene dataset in the
+reference's exact file formats (pred.json per benchmark/predict.py:207-233,
+GT bbox list per scripts/build_benchmark_gt.py) with analytically-known
+IoUs (1.0 / 0.5 / 0.6 / 0.0 — see make_fixture.py).  The full offline
+metric stack (Hungarian gIoU assignment, caption P/R/F1 at the three IoU
+gates, detection mAP, densecap grid) runs against it and every headline
+number is pinned — a regression anchor for the metric stack that needs no
+model and no 1.2 TB dataset (benchmark/eval.py:472-501).
+
+Pinned values were produced by this repo's stack and sanity-derive:
+  * chair AP = 1.0 at both IoU thresholds (exact box, top-ranked score);
+  * table AP drops to 0 at 0.5 (its IoU is exactly 0.5, gate is strict >);
+  * captioning @0 == @0.25 (every assigned pred has IoU >= 0.5 except the
+    unmatched far box, which is assigned to no GT);
+  * densecap AP@(*, 0.75) halves: only the verbatim chair caption clears
+    METEOR 0.75.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "fixtures", "benchmark_mini")
+
+
+@pytest.fixture(scope="module")
+def results():
+    from scan2cap_tpu.eval.benchmark import evaluate
+
+    with open(os.path.join(HERE, "pred.json")) as f:
+        pred = json.load(f)
+    with open(os.path.join(HERE, "gt_bbox.json")) as f:
+        gt = json.load(f)
+    return evaluate(pred, gt, verbose=False)
+
+
+def test_detection_map_pinned(results):
+    det = results["detection"]
+    assert det[0.25]["mAP"] == pytest.approx(5 / 9, abs=1e-6)
+    assert det[0.5]["mAP"] == pytest.approx(4 / 9, abs=1e-6)
+    assert det[0.25]["chair Average Precision"] == pytest.approx(1.0, abs=1e-6)
+    assert det[0.5]["table Average Precision"] == 0.0   # IoU 0.5, gate is >
+    assert det[0.25]["AR"] == pytest.approx(1.0, abs=1e-6)
+    assert det[0.5]["AR"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_captioning_pinned(results):
+    cap = results["captioning"]
+    # IoU 0 and 0.25 gates keep the same assigned predictions
+    for metric in ("cider", "rouge", "meteor"):
+        assert cap[0]["f1-score"][metric] == pytest.approx(
+            cap[0.25]["f1-score"][metric], abs=1e-12)
+    assert cap[0]["f1-score"]["cider"] == pytest.approx(
+        2.428363298459073, abs=1e-9)
+    assert cap[0]["f1-score"]["bleu"][3] == pytest.approx(
+        0.28573063340795246, abs=1e-9)
+    assert cap[0]["f1-score"]["rouge"] == pytest.approx(
+        0.6220915686765073, abs=1e-9)
+    assert cap[0.5]["f1-score"]["cider"] == pytest.approx(
+        2.4089519423061985, abs=1e-9)
+    assert cap[0.5]["f1-score"]["rouge"] == pytest.approx(0.5, abs=1e-9)
+    assert cap[0.5]["precision"]["bleu"][0] == pytest.approx(
+        0.4374999998975696, abs=1e-9)
+    assert cap[0.5]["recall"]["cider"] == pytest.approx(
+        2.8104439326905646, abs=1e-9)
+
+
+def test_captioning_meteor_pinned_builtin(results):
+    """METEOR columns depend on the sentence/corpus backend — pin them only
+    for the builtin exact+stem scorer (the deterministic offline default)."""
+    from scan2cap_tpu.eval.capeval.meteor import METEOR_BACKEND
+
+    if METEOR_BACKEND != "builtin-exact-stem":
+        pytest.skip(f"meteor backend is {METEOR_BACKEND}")
+    cap = results["captioning"]
+    assert cap[0]["f1-score"]["meteor"] == pytest.approx(
+        0.5714853036874351, abs=1e-9)
+    assert cap[0.5]["f1-score"]["meteor"] == pytest.approx(
+        0.4864111796982168, abs=1e-9)
+
+
+def test_densecap_pinned(results):
+    from scan2cap_tpu.eval.benchmark import SENTENCE_METEOR_BACKEND
+
+    dc = results["densecap"]
+    assert dc["meteor_backend"] == SENTENCE_METEOR_BACKEND
+    if SENTENCE_METEOR_BACKEND != "builtin-exact-stem":
+        pytest.skip("densecap grid values depend on the METEOR backend")
+    assert dc["mAP"] == pytest.approx(0.6, abs=1e-6)
+    for iou in (0.1, 0.2, 0.3, 0.4, 0.5):
+        assert dc["AP"][iou][0.15] == pytest.approx(2 / 3, abs=1e-6)
+        assert dc["AP"][iou][0.75] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_fixture_files_are_reference_format():
+    """The committed fixture must keep the reference's schemas byte-for-byte
+    parseable: pred entries carry caption/box/sem_prob/obj_prob, GT entries
+    the ScanRefer fields + an (8,3) corner bbox."""
+    with open(os.path.join(HERE, "pred.json")) as f:
+        pred = json.load(f)
+    for scene, entries in pred.items():
+        assert scene.endswith("_00")
+        for e in entries:
+            assert e["caption"].startswith("sos ")
+            assert np.asarray(e["box"]).shape == (8, 3)
+            assert len(e["sem_prob"]) == 18 and len(e["obj_prob"]) == 2
+    with open(os.path.join(HERE, "gt_bbox.json")) as f:
+        gt = json.load(f)
+    for e in gt:
+        assert {"scene_id", "object_id", "object_name", "ann_id",
+                "token", "bbox"} <= set(e)
+        assert np.asarray(e["bbox"]).shape == (8, 3)
