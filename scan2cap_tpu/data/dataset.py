@@ -134,6 +134,7 @@ class ScannetReferenceDataset:
         self._load_scenes()
         self._multiview_db = None
         self._db_lock = __import__("threading").Lock()
+        self._mv_local = __import__("threading").local()
 
     # ------------------------------------------------------------------
     def _load_scenes(self):
@@ -157,7 +158,18 @@ class ScannetReferenceDataset:
                 if self._multiview_db is None:
                     self._multiview_db = h5py.File(
                         self.multiview_path, "r", libver="latest", swmr=True)
-        return self._multiview_db[scene_id]
+        dset = self._multiview_db[scene_id]
+        # read into a reusable per-thread buffer: a fresh ~25 MB allocation
+        # per sample is pure page-fault churn (the buffer's pages are hot
+        # after the first scene)
+        P, C = dset.shape
+        buf = getattr(self._mv_local, "buf", None)
+        if buf is None or buf.shape[0] < P or buf.shape[1] != C:
+            buf = np.empty((max(P, 51200), C), dset.dtype)
+            self._mv_local.buf = buf
+        out = buf[:P]
+        dset.read_direct(out)
+        return out
 
     def __len__(self):
         return len(self.scanrefer)
@@ -182,30 +194,36 @@ class ScannetReferenceDataset:
         semantic_labels = scene["semantic_labels"]
         instance_bboxes = scene["instance_bboxes"]
 
-        # ---- feature assembly (lib/dataset.py:338-363) ----
-        if not self.use_color:
-            point_cloud = mesh_vertices[:, 0:3].copy()
-        else:
-            point_cloud = mesh_vertices[:, 0:6].copy()
-            point_cloud[:, 3:6] = (point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
+        # ---- feature assembly (lib/dataset.py:338-363), sample-first ----
+        # The reference concatenates the FULL-scene feature matrix (up to
+        # 50000 x 135) and then row-samples it; assembling only the sampled
+        # rows is bitwise identical (gather∘concat == concat∘gather, and the
+        # height floor is still the full-scene z percentile) while skipping
+        # ~50 MB of full-width intermediates per sample — the allocation
+        # churn, not arithmetic, dominated this pipeline's CPU cost.
+        P = mesh_vertices.shape[0]
+        if self.use_height:
+            floor = np.percentile(mesh_vertices[:, 2], 0.99)
+        replace = P < self.num_points
+        choices = rng.choice(P, self.num_points, replace=replace)
+
+        # wide row gathers run in the native data plane
+        # (scan2cap_tpu/native, C++ with numpy fallbacks)
+        verts = native.sample_gather(
+            np.ascontiguousarray(
+                mesh_vertices[:, :9 if self.use_normal else 6]), choices)
+        parts = [verts[:, 0:3]]
+        if self.use_color:
+            parts.append((verts[:, 3:6] - MEAN_COLOR_RGB) / 256.0)
         if self.use_normal:
-            point_cloud = np.concatenate(
-                [point_cloud, mesh_vertices[:, 6:9]], 1)
+            parts.append(verts[:, 6:9])
         if self.use_multiview:
             mv = np.asarray(self._multiview(scene_id))
-            point_cloud = np.concatenate([point_cloud, mv], 1)
+            parts.append(native.sample_gather(mv, choices))
         if self.use_height:
-            floor = np.percentile(point_cloud[:, 2], 0.99)
-            point_cloud = np.concatenate(
-                [point_cloud, (point_cloud[:, 2] - floor)[:, None]], 1)
-
-        # index draw stays in numpy (reproducible); the wide row gather and
-        # the other per-sample hot loops below run in the native data plane
-        # (scan2cap_tpu/native, C++ with numpy fallbacks)
-        replace = point_cloud.shape[0] < self.num_points
-        choices = rng.choice(point_cloud.shape[0], self.num_points,
-                             replace=replace)
-        point_cloud = native.sample_gather(point_cloud, choices)
+            parts.append((verts[:, 2] - floor)[:, None])
+        point_cloud = (np.concatenate(parts, 1).astype(np.float32)
+                       if len(parts) > 1 else parts[0].astype(np.float32))
         instance_labels = instance_labels[choices]
         semantic_labels = semantic_labels[choices]
 
@@ -373,6 +391,21 @@ _NYU2CLS_NAMED = {
 DC_NYU2CLS = {int(i): _NYU2CLS_NAMED.get(int(i), 17) for i in SCANNET_NYU40IDS}
 
 
+def _collate(samples):
+    """Preallocate-and-assign batch assembly.  np.stack is 20-30x slower
+    than a memcpy loop for these wide (40000, C) rows on this numpy (it
+    routes per-array strided copies through the slow concatenate path) —
+    at B=16 multiview shapes that's >1s per batch vs ~0.1s."""
+    batch = {}
+    for k, v0 in samples[0].items():
+        v0 = np.asarray(v0)
+        out = np.empty((len(samples),) + v0.shape, v0.dtype)
+        for i, s in enumerate(samples):
+            out[i] = s[k]
+        batch[k] = out
+    return batch
+
+
 class Loader:
     """Thread-pool prefetching batch loader (replaces torch DataLoader).
 
@@ -385,7 +418,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 42, num_workers: int = 4, drop_last: bool = True,
-                 num_shards: int = 1, shard_id: int = 0):
+                 num_shards: int = 1, shard_id: int = 0,
+                 reuse_buffers: bool = False):
         assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
@@ -396,6 +430,16 @@ class Loader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.epoch = 0
+        # Opt-in ring of reusable batch buffers: workers write samples
+        # directly into PREFETCH_BATCHES+2 preallocated batch arrays, so
+        # after the first cycle no fresh pages are ever allocated.  Touching
+        # fresh pages is the measured bottleneck of the retained-batch path
+        # (fault-in of a new 21.6 MB point_clouds array costs ~25 ms/MB on
+        # this class of VM vs ~0.1 ms/MB for allocator-reused pages).
+        # CONTRACT: a yielded batch is only valid until two more batches
+        # have been consumed — copy (or upload to device, as the train loop
+        # does) before then.  Off by default.
+        self.reuse_buffers = reuse_buffers
 
     def _shard_size(self):
         # every host must run the same number of steps: floor division
@@ -426,12 +470,34 @@ class Loader:
         n_batches = len(self)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
+        nbuf = self.PREFETCH_BATCHES + 2
+        buffers = [None] * nbuf
+        alloc_lock = __import__("threading").Lock()
+
+        def write_into(slot, row, i, rs):
+            s = self.dataset.__getitem__(i, rs)
+            if buffers[slot] is None:
+                with alloc_lock:
+                    if buffers[slot] is None:
+                        buffers[slot] = {
+                            k: np.empty(
+                                (self.batch_size,) + np.asarray(v).shape,
+                                np.asarray(v).dtype)
+                            for k, v in s.items()}
+            buf = buffers[slot]
+            for k, v in s.items():
+                buf[k][row] = v
+
         def submit(b):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            return [pool.submit(
-                self.dataset.__getitem__, int(i),
-                np.random.RandomState((self.seed + epoch) * 100003 + int(i)))
-                for i in idxs]
+            seeds = [(self.seed + epoch) * 100003 + int(i) for i in idxs]
+            if self.reuse_buffers:
+                return [pool.submit(write_into, b % nbuf, r, int(i),
+                                    np.random.RandomState(sd))
+                        for r, (i, sd) in enumerate(zip(idxs, seeds))]
+            return [pool.submit(self.dataset.__getitem__, int(i),
+                                np.random.RandomState(sd))
+                    for i, sd in zip(idxs, seeds)]
 
         try:
             from collections import deque
@@ -443,9 +509,14 @@ class Loader:
                 nxt = b + self.PREFETCH_BATCHES
                 if nxt < n_batches:
                     window.append(submit(nxt))
-                samples = [f.result() for f in fs]
-                yield {k: np.stack([s[k] for s in samples])
-                       for k in samples[0]}
+                if self.reuse_buffers:
+                    for f in fs:
+                        f.result()          # barrier + error propagation
+                    buf = buffers[b % nbuf]
+                    yield (buf if len(fs) == self.batch_size
+                           else {k: v[:len(fs)] for k, v in buf.items()})
+                else:
+                    yield _collate([f.result() for f in fs])
         finally:
             pool.shutdown(wait=False)
 

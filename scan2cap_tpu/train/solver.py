@@ -173,7 +173,10 @@ class Solver:
                     self._write_scalar("train", k, float(v), it)
 
         for batch in self.train_loader:
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # jnp.array (NOT asarray): the CPU backend aliases numpy memory,
+            # and with Loader(reuse_buffers=True) the yielded batch is a
+            # reusable ring buffer — the upload must be a real copy
+            jbatch = {k: jnp.array(v) for k, v in batch.items()}
             fetch_times.append(time.time() - t_fetch)
 
             # device trace of warm steps (skip the compile step)

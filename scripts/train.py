@@ -163,7 +163,8 @@ def train(args):
     train_loader = Loader(train_ds, args.batch_size, shuffle=True,
                           seed=args.seed,
                           num_shards=jax.process_count(),
-                          shard_id=jax.process_index())
+                          shard_id=jax.process_index(),
+                          reuse_buffers=True)  # solver copies on upload
     val_loader = Loader(val_ds, args.batch_size, shuffle=False,
                         seed=args.seed, drop_last=False)
 

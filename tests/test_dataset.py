@@ -236,3 +236,51 @@ def test_loader_early_break_does_not_replay(tmp_path, rng):
     second = [[int(v) for v in b["idx"]] for b in ld]
     assert ld.epoch == 2
     assert first[0] != second[0]       # different permutation
+
+
+class _ToyRing:
+    def __len__(self):
+        return 20
+
+    def __getitem__(self, i, rs=None):
+        return {"idx": np.int32(i), "vec": np.full((5,), i, np.float32)}
+
+
+def test_loader_ring_buffers_match_plain(tmp_path):
+    """Loader(reuse_buffers=True) yields the same batches as the default
+    path for the same seed/epoch (workers write into the reusable ring in
+    arbitrary order but at fixed row slots), provided the consumer copies
+    within the documented 2-batch window."""
+    ds = _ToyRing()
+    plain = Loader(ds, batch_size=2, shuffle=True, seed=11, num_workers=3)
+    ring = Loader(ds, batch_size=2, shuffle=True, seed=11, num_workers=3,
+                  reuse_buffers=True)
+    got_plain = [{k: v.copy() for k, v in b.items()} for b in plain]
+    got_ring = [{k: v.copy() for k, v in b.items()} for b in ring]
+    assert len(got_plain) == len(got_ring) > 0
+    for bp, br in zip(got_plain, got_ring):
+        assert set(bp) == set(br)
+        for k in bp:
+            np.testing.assert_array_equal(bp[k], br[k])
+
+
+def test_loader_ring_overwrites_after_window():
+    """The ring contract: a batch retained past the reuse distance IS
+    overwritten (this is what buys the zero-allocation steady state) —
+    consumers must copy/upload first, as the solver does."""
+    ds = _ToyRing()
+    ring = Loader(ds, batch_size=2, shuffle=False, seed=0, num_workers=2,
+                  reuse_buffers=True)
+    nbuf = Loader.PREFETCH_BATCHES + 2
+    if len(ring) <= nbuf:
+        pytest.skip("toy dataset too small to cycle the ring")
+    it = iter(ring)
+    first = next(it)
+    first_copy = {k: v.copy() for k, v in first.items()}
+    overwritten = False
+    for b, batch in enumerate(it, start=1):
+        if b % nbuf == 0:   # same slot as batch 0
+            overwritten = any(
+                not np.array_equal(first[k], first_copy[k]) for k in first)
+            break
+    assert overwritten
