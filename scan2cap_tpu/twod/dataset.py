@@ -11,6 +11,7 @@ with sample_id = "{scene_id}-{object_id}_{ann_id}" (conf.adapt_sample_keys
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Optional, Sequence
 
@@ -48,6 +49,14 @@ class TwoDDataset:
         import h5py
         if self._db is None:
             self._db = h5py.File(self.db_path, "r", libver="latest", swmr=True)
+            backend = self._db.attrs.get("extractor_backend", "unknown")
+            print(f"[twod] feature db {os.path.basename(self.db_path)}: "
+                  f"extractor={backend}")
+            if backend == "random-projection-fallback":
+                import sys
+                print("[twod] WARNING: features are the non-semantic "
+                      "random-projection fallback — metrics from this db "
+                      "are pipeline smoke tests only", file=sys.stderr)
         return self._db
 
     def __len__(self):

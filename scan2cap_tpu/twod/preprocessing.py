@@ -19,7 +19,12 @@ import numpy as np
 
 
 def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
-    """Returns fn(images (B,H,W,3) float [0,1]) -> (B, 2048) features."""
+    """Returns fn(images (B,H,W,3) float [0,1]) -> (B, 2048) features.
+
+    The returned callable carries a ``.backend`` attribute
+    ("resnet:<model>" or "random-projection-fallback") that
+    ``build_database`` records in the HDF5 so downstream numbers are
+    attributable."""
     try:
         import torch
         from transformers import AutoModel
@@ -36,10 +41,17 @@ def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
                 out = model(x).pooler_output  # (B, 2048, 1, 1)
             return out.reshape(len(images), -1).numpy()
 
+        extract.backend = f"resnet:{model_name}"
         return extract
     except Exception:
         # offline fallback: fixed random projection of 8x8 patch means —
-        # keeps the whole 2D pipeline runnable without pretrained weights
+        # keeps the whole 2D pipeline runnable without pretrained weights.
+        # These features carry NO semantics: any caption/retrieval metric
+        # computed from them is meaningless except as a pipeline smoke test.
+        import sys
+        print("[twod.preprocessing] WARNING: no pretrained ResNet available "
+              "— using the random-projection fallback extractor; resulting "
+              "2D baseline metrics are NOT meaningful", file=sys.stderr)
         rs = np.random.RandomState(0)
         proj = rs.randn(8 * 8 * 3, 2048).astype(np.float32) / np.sqrt(192)
 
@@ -50,6 +62,7 @@ def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
                 B, 8, ph, 8, pw, 3).mean((2, 4))
             return pooled.reshape(B, -1) @ proj
 
+        extract.backend = "random-projection-fallback"
         return extract
 
 
@@ -81,6 +94,8 @@ def build_database(
 
     extract = extractor or make_resnet_extractor()
     with h5py.File(out_path, "w") as db:
+        # which extractor produced these features is part of the artifact
+        db.attrs["extractor_backend"] = getattr(extract, "backend", "custom")
         for entry in samples:
             sid = sample_id_of(entry)
             if sid in db:
