@@ -29,7 +29,10 @@ def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
         import torch
         from transformers import AutoModel
 
-        model = AutoModel.from_pretrained(model_name)
+        # local_files_only: fail FAST when the weights aren't cached —
+        # otherwise transformers waits out network timeouts (tens of
+        # seconds) before the offline fallback can kick in
+        model = AutoModel.from_pretrained(model_name, local_files_only=True)
         model.eval()
 
         def extract(images: np.ndarray) -> np.ndarray:

@@ -26,6 +26,18 @@ def pytest_configure(config):
 # force the platform through the config as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall clock is dominated by XLA
+# CPU compiles of the full-model programs; cached compiles make re-runs
+# (and the driver's repeated verification passes) several times faster.
+_cache_dir = os.path.join(
+    os.path.expanduser("~"), ".cache", "scan2cap_tpu_jax_testcache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

@@ -54,6 +54,7 @@ def cli_data(tmp_path, rng):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_train_cli_runs(cli_data):
     env = dict(os.environ)
     env.update({
@@ -103,6 +104,7 @@ def test_train_cli_runs(cli_data):
     assert "check ok" in res.stdout, res.stdout[-500:]
 
 
+@pytest.mark.slow
 def test_train_cli_resume(cli_data):
     env = dict(os.environ)
     env.update({

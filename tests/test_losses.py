@@ -128,7 +128,9 @@ def test_end_to_end_loss_and_grads():
     batch = make_scene_batch(cfg, batch_size=2, num_objects=3, vocab=vocab)
     d = {k: jnp.asarray(v) for k, v in batch.items()}
     model = CapNet(cfg, num_vocabs=32)
-    variables = model.init(jax.random.PRNGKey(0), d, train=False)
+    # jit both stages: unjitted, this runs op-by-op (minutes of dispatch)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), d, train=False)
 
     def loss_fn(params):
         out, _ = model.apply(
@@ -139,8 +141,8 @@ def test_end_to_end_loss_and_grads():
             out, detection=True, caption=True, orientation=True, distance=True)
         return out["loss"], out
 
-    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables["params"])
+    (loss, out), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
     assert np.isfinite(float(loss))
     for k in ("vote_loss", "objectness_loss", "box_loss", "cap_loss",
               "ori_loss", "dist_loss", "obj_acc", "pos_ratio"):

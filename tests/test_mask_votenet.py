@@ -48,7 +48,8 @@ def _batch(rng, B=2, N=256, in_dim=2):  # height + mask
 def test_mask_votenet_forward_and_loss(rng):
     batch = _batch(rng)
     model = MaskVoteNet(TINY)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
     out = model.apply(variables, batch, train=False)
     assert out["center"].shape == (2, 1, 3)
     assert out["size_scores"].shape == (2, 1, 18)
@@ -66,7 +67,8 @@ def test_mask_votenet_loss_decreases(rng):
     import optax
     batch = _batch(rng)
     model = MaskVoteNet(TINY)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables["params"])
 

@@ -48,7 +48,8 @@ def test_encoder_and_object_loss(tmp_path, rng):
              for k in samples[0]}
     model = PointnetEncoder(input_feature_dim=2, num_classes=18,
                             sa_npoints=(64, 32, 16, 8))
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
     out = model.apply(variables, batch, train=False)
     assert out["enc_features"].shape == (2, 128)
     assert out["enc_preds"].shape == (2, 18)

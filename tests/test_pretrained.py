@@ -49,7 +49,8 @@ def test_pretrained_gt_forward_and_loss(rng):
     vocab = make_vocab(num_vocabs=32)
     batch = _gt_batch(rng, vocab)
     model = CapNetPretrained(CFG, mode="gt", num_vocabs=32)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
     out = model.apply(variables, batch, use_tf=True, is_eval=False, train=False)
     assert out["lang_cap"].shape == (2, CFG.max_des_len + 1, 32)
     # oracle mode: target ious forced to 1 -> all boxes good
@@ -144,7 +145,8 @@ def test_feed_pretrained_cap(rng, tmp_path):
     vocab = make_vocab(num_vocabs=32)
     batch = _gt_batch(rng, vocab)
     model = CapNetPretrained(CFG, mode="gt", num_vocabs=32)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
 
     class DS:
         vocabulary = vocab

@@ -39,7 +39,8 @@ def test_show_and_tell(rng):
     }
     model = ShowAndTell2D(num_vocabs=32, feat_size=64 + 68, hidden_size=96,
                           max_desc_len=30)
-    variables = model.init(jax.random.PRNGKey(0), batch, is_eval=False)
+    variables = jax.jit(model.init, static_argnames=("is_eval",))(
+        jax.random.PRNGKey(0), batch, is_eval=False)
     out = model.apply(variables, batch, is_eval=False)
     assert out["lang_cap"].shape == (B, 31, 32)
     out_e = model.apply(variables, batch, is_eval=True)
@@ -83,7 +84,8 @@ def test_show_attend_and_tell(rng):
     }
     model = ShowAttendAndTell2D(num_vocabs=32, feat_size=64 + 68,
                                 context_size=68, hidden_size=96)
-    variables = model.init(jax.random.PRNGKey(0), batch, is_eval=False)
+    variables = jax.jit(model.init, static_argnames=("is_eval",))(
+        jax.random.PRNGKey(0), batch, is_eval=False)
     out = model.apply(variables, batch, is_eval=False)
     assert out["lang_cap"].shape == (B, 31, 32)
     out_e = model.apply(variables, batch, is_eval=True)
