@@ -62,10 +62,13 @@ def measure_train(cfg, model, vocab, emb_table):
     from scan2cap_tpu.losses import get_scene_cap_loss
     from scan2cap_tpu.train import create_train_state
 
+    from scan2cap_tpu.data.synthetic import make_scene_batch
+
     B = TRAIN_BATCH
     N = cfg.num_points
     in_dim = 3 + cfg.input_feature_dim
-    host = make_scene_batch_cached(cfg, vocab)
+    host = make_scene_batch(cfg, batch_size=1, num_objects=8, vocab=vocab,
+                            seed=0)
     big = {"point_clouds", "vote_label", "vote_label_mask"}
     batch = {k: jnp.tile(jnp.asarray(v), (B,) + (1,) * (v.ndim - 1))
              for k, v in host.items() if k not in big}
@@ -116,18 +119,6 @@ def measure_train(cfg, model, vocab, emb_table):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / TRAIN_SCAN_STEPS
     return B / dt, dt * 1e3
-
-
-_SCENE_CACHE = {}
-
-
-def make_scene_batch_cached(cfg, vocab):
-    from scan2cap_tpu.data.synthetic import make_scene_batch
-    key = id(cfg)
-    if key not in _SCENE_CACHE:
-        _SCENE_CACHE[key] = make_scene_batch(cfg, batch_size=1, num_objects=8,
-                                             vocab=vocab, seed=0)
-    return _SCENE_CACHE[key]
 
 
 def main():

@@ -58,23 +58,45 @@ class CheckpointIO:
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer() if _HAS_ORBAX else None
         self._pending_swap: Optional[tuple] = None
-        # recover from a crash that committed .new but didn't finish the swap
+        # recover from a crash that committed .new but didn't finish the
+        # swap.  Invariant used below: the swap sequence only starts AFTER
+        # the checkpointer commit finishes, and orbax finalizes a save by
+        # atomically renaming its own tmp dir into place — so an existing
+        # <name>.new is always complete, and always newer than both
+        # <name>.old and the final dir.
         for name in os.listdir(self.root):
             if name.endswith(".old"):
                 final = os.path.join(self.root, name[:-4])
                 new = final + ".new"
-                if os.path.exists(final):
-                    shutil.rmtree(os.path.join(self.root, name))
-                elif os.path.exists(new):
-                    # crashed between rename(path, old) and rename(new, path):
-                    # the swap only starts after .new is fully committed, so
-                    # .new is both complete and NEWER than .old — promote it
-                    # (restoring .old here would silently lose the freshest
-                    # committed checkpoint to the next save's rmtree)
+                if os.path.exists(new):
+                    # crashed mid-swap: promote the committed .new; both the
+                    # stale final (if any) and .old are older
+                    if os.path.exists(final):
+                        shutil.rmtree(final)
                     os.rename(new, final)
                     shutil.rmtree(os.path.join(self.root, name))
-                else:                      # crashed before .new ever landed
+                elif os.path.exists(final):
+                    shutil.rmtree(os.path.join(self.root, name))
+                else:                      # crashed between the two renames
                     os.rename(os.path.join(self.root, name), final)
+        for name in os.listdir(self.root):
+            if name.endswith(".orbax-checkpoint-tmp"):
+                # crash mid-write: orbax's own tmp dir (it atomically
+                # renames this into <name>.new at commit) — incomplete by
+                # definition, and it would collide with the next save
+                shutil.rmtree(os.path.join(self.root, name),
+                              ignore_errors=True)
+                continue
+            if name.endswith(".new"):
+                # orphaned committed .new with no .old: crash after the
+                # commit but before (or during) the swap of a first-ever
+                # save, or after .old was already cleaned — it is the
+                # freshest complete checkpoint; promote it (leaving it would
+                # lose it to the next save's rmtree)
+                final = os.path.join(self.root, name[:-4])
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.rename(os.path.join(self.root, name), final)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)

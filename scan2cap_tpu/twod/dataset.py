@@ -44,19 +44,29 @@ class TwoDDataset:
         self.emb_table = build_embedding_table(self.vocabulary, glove)
         self.db_path = db_path or cfg.db_path
         self._db = None
+        self._db_lock = __import__("threading").Lock()
 
     def _h5(self):
         import h5py
         if self._db is None:
-            self._db = h5py.File(self.db_path, "r", libver="latest", swmr=True)
-            backend = self._db.attrs.get("extractor_backend", "unknown")
-            print(f"[twod] feature db {os.path.basename(self.db_path)}: "
-                  f"extractor={backend}")
-            if backend == "random-projection-fallback":
-                import sys
-                print("[twod] WARNING: features are the non-semantic "
-                      "random-projection fallback — metrics from this db "
-                      "are pipeline smoke tests only", file=sys.stderr)
+            # Loader worker THREADS race through here; double-checked lock
+            # so only one handle is opened (same pattern as the 3D
+            # dataset's _multiview, data/dataset.py)
+            with self._db_lock:
+                if self._db is None:
+                    db = h5py.File(self.db_path, "r", libver="latest",
+                                   swmr=True)
+                    backend = db.attrs.get("extractor_backend", "unknown")
+                    print(f"[twod] feature db "
+                          f"{os.path.basename(self.db_path)}: "
+                          f"extractor={backend}")
+                    if backend == "random-projection-fallback":
+                        import sys
+                        print("[twod] WARNING: features are the "
+                              "non-semantic random-projection fallback — "
+                              "metrics from this db are pipeline smoke "
+                              "tests only", file=sys.stderr)
+                    self._db = db
         return self._db
 
     def __len__(self):

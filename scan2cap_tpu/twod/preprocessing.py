@@ -29,10 +29,19 @@ def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
         import torch
         from transformers import AutoModel
 
-        # local_files_only: fail FAST when the weights aren't cached —
-        # otherwise transformers waits out network timeouts (tens of
-        # seconds) before the offline fallback can kick in
-        model = AutoModel.from_pretrained(model_name, local_files_only=True)
+        # cache-first (local_files_only fails FAST when the weights aren't
+        # cached — otherwise transformers waits out network timeouts), then
+        # a real download attempt unless the environment is marked offline;
+        # a plain local_files_only=True would silently strand internet-
+        # connected hosts on the meaningless random-projection fallback
+        try:
+            model = AutoModel.from_pretrained(model_name,
+                                              local_files_only=True)
+        except Exception:
+            if (os.environ.get("HF_HUB_OFFLINE")
+                    or os.environ.get("TRANSFORMERS_OFFLINE")):
+                raise
+            model = AutoModel.from_pretrained(model_name)
         model.eval()
 
         def extract(images: np.ndarray) -> np.ndarray:

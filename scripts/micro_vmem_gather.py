@@ -127,9 +127,13 @@ def timed(fn, *args, tag=""):
 
 
 def main():
-    rng = np.random.RandomState(0)
-    table = jnp.asarray(rng.randn(N, C).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, N, ROWS).astype(np.int32))
+    # synthesize ON DEVICE (CLAUDE.md: the host link is a ~1.6 MB/s tunnel;
+    # shipping the 10.5 MB table would stall the first use for ~7 s)
+    key = jax.random.PRNGKey(0)
+    table = jax.block_until_ready(
+        jax.random.normal(key, (N, C), jnp.float32))
+    idx = jax.block_until_ready(jax.random.randint(
+        jax.random.fold_in(key, 1), (ROWS,), 0, N, jnp.int32))
 
     timed(xla_gather, table, idx, tag="XLA HBM gather   ")
     timed(vmem_gather, table, idx, tag="Pallas VMEM gather")

@@ -145,7 +145,7 @@ def main():
     assert n_measure > 0, "dataset too small for the requested measurement"
 
     fetch_wait = 0.0
-    t_start = None
+    t_start = time.perf_counter()     # correct when warmup_batches == 0
     it = iter(loader)
     for b in range(args.warmup_batches + n_measure):
         tf0 = time.perf_counter()

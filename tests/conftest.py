@@ -8,6 +8,9 @@ device mesh — set up before jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override e.g. JAX_PLATFORMS=axon
+# no network in CI: make transformers/huggingface probes fail fast instead
+# of waiting out connection timeouts (twod/preprocessing falls back)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

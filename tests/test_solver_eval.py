@@ -198,3 +198,26 @@ def test_checkpoint_crash_recovery_prefers_committed_new(tmp_path):
     np.testing.assert_array_equal(out["params"]["w"], t_new["params"]["w"])
     assert not os.path.exists(root / "last.old")
     assert not os.path.exists(root / "last.new")
+
+
+def test_checkpoint_crash_recovery_orphaned_new(tmp_path):
+    # crash after the checkpointer commit but before the swap of a
+    # FIRST-EVER save: a committed <name>.new exists with neither the final
+    # dir nor .old — recovery must promote it (the next save would rmtree
+    # it, destroying the only checkpoint); stale orbax tmp dirs are cleaned
+    import os
+    from scan2cap_tpu.train.checkpoints import CheckpointIO
+
+    root = tmp_path / "ckpt"
+    io = CheckpointIO(str(root))
+    t = {"params": {"w": np.full((2, 2), 5.0, np.float32)}}
+    io.save("stage", t)
+    os.rename(root / "stage", root / "last.new")        # orphaned .new
+    (root / "resume.new.orbax-checkpoint-tmp").mkdir()  # stale orbax tmp
+
+    io2 = CheckpointIO(str(root))
+    out = io2.restore("last", t)
+    np.testing.assert_array_equal(out["params"]["w"], t["params"]["w"])
+    assert not os.path.exists(root / "last.new")
+    assert not os.path.exists(root / "resume.new.orbax-checkpoint-tmp")
+    assert io2.exists("last")
