@@ -105,13 +105,16 @@ class PointnetSAModuleVotes(nn.Module):
                             name="mlp")
 
         in_width = 3 + (features.shape[-1] if features is not None else 0)
-        # fast path requires: bias-free layer 0 (bn=True) so the linear
-        # decomposition is exact, and f32 compute — in bf16 the decomposition
-        # would quantize ABSOLUTE room-scale coordinates (the replaced
-        # formulation casts only the small relative offsets) and lose ~1% of
-        # the output to cancellation
-        if (self.use_xyz and in_width > self.mlp[0]
-                and self.compute_dtype is None):
+        # fast path requires a bias-free layer 0 (bn=True) so the linear
+        # decomposition is exact.  The decomposition itself ALWAYS runs in
+        # f32 — in bf16 it would quantize ABSOLUTE room-scale coordinates
+        # (the replaced formulation subtracts centers first and only ever
+        # sees the small relative offsets) and lose ~1% of the output to
+        # cancellation.  With compute_dtype=bfloat16 only the post-gather
+        # MLP/BN chain (from_first) runs narrow: that is where the HBM
+        # traffic is (the (B,M,S,C) activations are ~0.5-1 GB per pass at
+        # sa1/B16), while the f32 projection matmul and gather stay exact.
+        if self.use_xyz and in_width > self.mlp[0]:
             # Gather-lean path.  TPU gathers cost ~constant per ROW, so
             # gathering the (3+C)-wide raw features (2 register tiles at sa1)
             # is the single most expensive op of the backbone.  The MLP's
@@ -125,15 +128,16 @@ class PointnetSAModuleVotes(nn.Module):
             # only configs gather 4ch raw rows — keep those as-is).
             idx = ball_query(xyz, new_xyz, self.radius, self.nsample)
             scale = 1.0 / self.radius if self.normalize_xyz else 1.0
-            xyz_s = (xyz * scale).astype(
-                feats_in.dtype if feats_in is not None else xyz.dtype)
-            cat = (jnp.concatenate([xyz_s, feats_in], axis=-1)
-                   if feats_in is not None else xyz_s)
-            ct_in = (new_xyz * scale).astype(xyz_s.dtype)
-            if feats_in is not None:
+            feats_f = (features.astype(jnp.float32)
+                       if features is not None else None)
+            xyz_s = (xyz * scale).astype(jnp.float32)
+            cat = (jnp.concatenate([xyz_s, feats_f], axis=-1)
+                   if feats_f is not None else xyz_s)
+            ct_in = (new_xyz * scale).astype(jnp.float32)
+            if feats_f is not None:
                 ct_in = jnp.concatenate(
-                    [ct_in, jnp.zeros(ct_in.shape[:-1] + (feats_in.shape[-1],),
-                                      xyz_s.dtype)], axis=-1)
+                    [ct_in, jnp.zeros(ct_in.shape[:-1] + (feats_f.shape[-1],),
+                                      jnp.float32)], axis=-1)
             if self.leaf_inputs:
                 # scatter-free backward (see _leaf_gathered_projection); the
                 # eye probe materializes the bias-free Dense_0 kernel so the
@@ -144,6 +148,9 @@ class PointnetSAModuleVotes(nn.Module):
                 proj = mlp_mod.project_first(cat)        # (B, N, w0)
                 ct = mlp_mod.project_first(ct_in)        # (B, npoint, w0)
                 g = group_points(proj, idx) - ct[:, :, None, :]
+            if self.compute_dtype is not None:
+                # relative-scale values only from here on: safe to narrow
+                g = g.astype(jnp.dtype(self.compute_dtype))
             out = mlp_mod.from_first(g, train, bn_momentum)
         else:
             grouped = query_and_group(

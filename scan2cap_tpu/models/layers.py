@@ -69,8 +69,13 @@ class SharedMLP(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        # layer 0 always computes in f32: project_first's callers decompose
+        # Dense(a+b) == Dense(a)+Dense(b) over ABSOLUTE room-scale
+        # coordinates, which bf16 would quantize (the narrow dtype pays off
+        # on the big post-gather (B,M,S,C) activations, i.e. layers 1+)
         self.denses = [
-            nn.Dense(w, use_bias=not self.bn, dtype=dtype, name=f"dense_{i}")
+            nn.Dense(w, use_bias=not self.bn, dtype=dtype if i else None,
+                     name=f"dense_{i}")
             for i, w in enumerate(self.features)]
         self.bns = ([BatchNorm(w, name=f"bn_{i}")
                      for i, w in enumerate(self.features)]

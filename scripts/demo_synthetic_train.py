@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--caption", action="store_true")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 backbone MLP chain (geometry stays f32)")
     return p.parse_args()
 
 
@@ -48,7 +50,8 @@ def main():
 
     args = parse_args()
     mcfg = ModelConfig(num_points=args.num_points,
-                       no_caption=not args.caption, min_iou=-1.0)
+                       no_caption=not args.caption, min_iou=-1.0,
+                       compute_dtype="bfloat16" if args.bf16 else "float32")
     cfg = Config(model=mcfg)
     vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
 

@@ -28,16 +28,20 @@ def main():
     from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
     from scan2cap_tpu.models import CapNet
 
+    dtype = os.environ.get("SCAN2CAP_MICRO_DTYPE", "float32")
     configs = {
         "detect_only": ModelConfig(no_caption=True,
-                                   use_normal=True, use_multiview=True),
+                                   use_normal=True, use_multiview=True,
+                                   compute_dtype=dtype),
         "detect+graph": ModelConfig(no_caption=True, num_graph_steps=2,
                                     num_locals=10, use_relation=True,
-                                    use_normal=True, use_multiview=True),
+                                    use_normal=True, use_multiview=True,
+                                    compute_dtype=dtype),
         "full": ModelConfig(num_graph_steps=2, num_locals=10,
                             use_topdown=True, use_relation=True,
                             use_orientation=True,
-                            use_normal=True, use_multiview=True),
+                            use_normal=True, use_multiview=True,
+                            compute_dtype=dtype),
     }
     vocab = make_vocab(num_vocabs=NUM_VOCABS, emb_size=300)
     emb_table = jnp.asarray(vocab["emb_table"])

@@ -25,13 +25,16 @@ def main():
     from scan2cap_tpu.models import CapNet
     from scan2cap_tpu.losses.total import get_scene_cap_loss
 
+    dtype = os.environ.get("SCAN2CAP_MICRO_DTYPE", "float32")
     configs = {
         "detect_only": ModelConfig(no_caption=True,
-                                   use_normal=True, use_multiview=True),
+                                   use_normal=True, use_multiview=True,
+                                   compute_dtype=dtype),
         "full": ModelConfig(num_graph_steps=2, num_locals=10,
                             use_topdown=True, use_relation=True,
                             use_orientation=True,
-                            use_normal=True, use_multiview=True),
+                            use_normal=True, use_multiview=True,
+                            compute_dtype=dtype),
     }
     vocab = make_vocab(num_vocabs=NUM_VOCABS, emb_size=300)
     emb_table = jnp.asarray(vocab["emb_table"])

@@ -58,6 +58,13 @@ def parse_args():
     p.add_argument("--use_pretrained", type=str, default=None)
     p.add_argument("--use_checkpoint", type=str, default="")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="EXPERIMENTAL: bfloat16 backbone MLP chain "
+                        "(geometry/FPS/ball-query/projection stay f32). "
+                        "~15%% faster train step on TPU but measurably "
+                        "degrades detection training (6x lower synthetic "
+                        "mAP@600 steps — docs/TPU_DESIGN.md #8); useful "
+                        "for throughput experiments, not production runs")
     return p.parse_args()
 
 
@@ -84,6 +91,7 @@ def model_config_from_args(args):
             use_multiview=args.use_multiview,
             use_height=not args.no_height,
             no_caption=args.no_caption,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
         )
     return ModelConfig(
         num_points=args.num_points,
@@ -102,6 +110,7 @@ def model_config_from_args(args):
         use_multiview=args.use_multiview,
         use_height=not args.no_height,
         no_caption=args.no_caption,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
 

@@ -190,3 +190,35 @@ def test_sa_leaf_inputs_scatter_free_backward(rng):
         k = jax.tree_util.keystr(p)
         np.testing.assert_allclose(np.asarray(g0), np.asarray(flat1[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sa_bf16_compute_keeps_f32_decomposition(rng):
+    # compute_dtype=bfloat16 narrows ONLY the post-gather MLP chain
+    # (backbone.py fast path): the projection/gather/center-subtract stays
+    # f32 (absolute coordinates would quantize in bf16), BN running stats
+    # stay f32, and the output tracks the f32 path within bf16 tolerance
+    import jax
+    from scan2cap_tpu.models.backbone import PointnetSAModuleVotes
+
+    B, N, C, M, S, R = 2, 500, 40, 64, 16, 0.3
+    xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    outs = {}
+    for dt in (None, "bfloat16"):
+        mod = PointnetSAModuleVotes(M, R, S, (32, 32, 64), compute_dtype=dt)
+        v = mod.init(jax.random.PRNGKey(0), xyz, feats, None, False, 0.1)
+        for leaf in jax.tree_util.tree_leaves(v["batch_stats"]):
+            assert leaf.dtype == jnp.float32
+        new_xyz, nf, inds = mod.apply(v, xyz, feats, None, False, 0.1)
+        outs[dt] = (np.asarray(new_xyz), np.asarray(nf, np.float32),
+                    np.asarray(inds))
+
+    # identical sampling/grouping decisions (the f32 geometry path)
+    np.testing.assert_array_equal(outs[None][2], outs["bfloat16"][2])
+    np.testing.assert_array_equal(outs[None][0], outs["bfloat16"][0])
+    ref = outs[None][1]
+    got = outs["bfloat16"][1]
+    # bf16 has ~3 decimal digits; activations here are O(1)
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    assert np.mean(np.abs(got - ref)) < 5e-3
