@@ -35,11 +35,16 @@ def compute_vote_loss(data_dict: dict) -> jax.Array:
     vote_xyz = data_dict["vote_xyz"]                  # (B, S*vf, 3)
     seed_inds = data_dict["seed_inds"].astype(jnp.int32)
 
+    # broadcast (not .repeat) the channel axis of the gather index: a
+    # materialized per-element index hides the row structure from XLA, which
+    # then transposes the whole (B, N, 9) vote_label table ({1,0,2} layout,
+    # a ~94 ms async copy window per step at B16) to serve a 16k-row gather;
+    # the size-1 index axis keeps it a plain row gather in the natural layout
     seed_gt_votes_mask = jnp.take_along_axis(
-        data_dict["vote_label_mask"].astype(jnp.float32), seed_inds, axis=1)
+        data_dict["vote_label_mask"].astype(jnp.float32)[..., None],
+        seed_inds[..., None], axis=1)[..., 0]
     seed_gt_votes = jnp.take_along_axis(
-        data_dict["vote_label"],
-        seed_inds[..., None].repeat(3 * GT_VOTE_FACTOR, axis=-1), axis=1)
+        data_dict["vote_label"], seed_inds[..., None], axis=1)
     seed_gt_votes = seed_gt_votes + jnp.tile(seed_xyz, (1, 1, GT_VOTE_FACTOR))
 
     vf = vote_xyz.shape[1] // S

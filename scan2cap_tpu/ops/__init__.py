@@ -6,7 +6,8 @@ for the hot paths.  All ops are batched, static-shape, channels-last.
 """
 
 from scan2cap_tpu.ops.sampling import furthest_point_sample, gather_points
-from scan2cap_tpu.ops.grouping import ball_query, group_points, query_and_group
+from scan2cap_tpu.ops.grouping import (ball_query, group_all,
+                                        group_points, query_and_group)
 from scan2cap_tpu.ops.interpolate import three_nn, three_interpolate
 from scan2cap_tpu.ops.nn_distance import nn_distance, huber_loss
 from scan2cap_tpu.ops.boxes import (
@@ -17,6 +18,6 @@ from scan2cap_tpu.ops.boxes import (
 
 __all__ = [
     "furthest_point_sample", "gather_points", "ball_query", "group_points",
-    "query_and_group", "three_nn", "three_interpolate", "nn_distance",
+    "query_and_group", "group_all", "three_nn", "three_interpolate", "nn_distance",
     "huber_loss", "get_3d_box_batch", "box3d_iou_batch", "param2obb_batch_jnp",
 ]

@@ -271,3 +271,25 @@ def query_and_group(
     if ret_grouped_xyz:
         return new_features, grouped_xyz
     return new_features
+
+
+def group_all(
+    xyz: jax.Array,
+    features: Optional[jax.Array],
+    use_xyz: bool = True,
+):
+    """Single-group "grouping" over the whole cloud (pointnet2_utils.py:379-424
+    ``GroupAll`` — the npoint=None branch of the SA modules; absolute
+    coordinates, no recentring).
+
+    Returns (B, 1, N, 3+C) channels-last [or (B, 1, N, C) if use_xyz=False].
+    """
+    grouped_xyz = xyz[:, None, :, :]                     # (B, 1, N, 3)
+    if features is not None:
+        grouped_features = features[:, None, :, :]       # (B, 1, N, C)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+        return grouped_features
+    if not use_xyz:
+        raise ValueError("cannot have no features and use_xyz=False")
+    return grouped_xyz

@@ -1,6 +1,7 @@
 """Parity tests for ball query / grouping vs the CUDA semantics
 (ball_query_gpu.cu:9-54, group_points_gpu.cu:8-75)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -145,3 +146,27 @@ def test_ball_query_randomized_property(rng):
         np.testing.assert_array_equal(
             got, want, err_msg=f"trial={trial} N={N} M={M} "
                                f"ns={nsample} r={radius}")
+
+
+def test_group_all_matches_reference_semantics():
+    # pointnet2_utils.py:379-424 GroupAll: one group holding the whole cloud,
+    # ABSOLUTE coordinates (no recentring), xyz channels first
+    from scan2cap_tpu.ops import group_all
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 37, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 37, 5).astype(np.float32))
+
+    out = np.asarray(group_all(xyz, feats, use_xyz=True))
+    assert out.shape == (2, 1, 37, 8)
+    np.testing.assert_array_equal(out[:, 0, :, :3], np.asarray(xyz))
+    np.testing.assert_array_equal(out[:, 0, :, 3:], np.asarray(feats))
+
+    out = np.asarray(group_all(xyz, feats, use_xyz=False))
+    np.testing.assert_array_equal(out[:, 0], np.asarray(feats))
+
+    out = np.asarray(group_all(xyz, None, use_xyz=True))
+    np.testing.assert_array_equal(out[:, 0], np.asarray(xyz))
+
+    with pytest.raises(ValueError):
+        group_all(xyz, None, use_xyz=False)
