@@ -14,11 +14,15 @@ Vectorized construction (sort-free): hits are packed into uint32 bitmask
 words; a popcount prefix sum over the words locates, for every output slot
 ``s``, the word containing the (s+1)-th hit via a fused one-hot reduction
 (each slot lies in exactly one word, so Σ value·I[contains] is exact), and a
-5-step binary search over the word's bits yields the final index.  This
-replaces a hierarchical top-k chain and benches ~3.6x faster at sa1 shapes
-(B8: 161ms -> 45ms, vs a 35ms floor for the distance pass alone).  The
-(M, N) distance/hit matrix is never materialized — XLA fuses it into the
-packing reduction.
+5-step binary search over the selected word's bits yields the final index.
+This replaces a hierarchical top-k chain and benches ~3.6x faster at sa1
+shapes (B8: 161ms -> 45ms, vs a 35ms floor for the distance pass alone).
+The (M, N) distance/hit matrix is never materialized — XLA fuses it into
+the packing reduction.  An MXU variant of the slot decode (one-hot
+selection as a batched dot, SCAN2CAP_BQ_DECODE=mxu) is kept as a measured
+NEGATIVE result: 18.4 vs 12.6 ms at B16 in-jit — materializing the f32
+one-hot operand costs more than the fused VPU masked-sums it replaces
+(docs/TPU_DESIGN.md §9).
 
 ``group_points`` is a plain XLA gather; its scatter-add gradient
 (group_points_gpu.cu:34-75) falls out of autodiff.
@@ -44,6 +48,14 @@ def set_ball_query_mode(mode: str) -> None:
     global DEFAULT_BALL_QUERY_MODE
     assert mode in ("exact", "approx"), mode
     DEFAULT_BALL_QUERY_MODE = mode
+
+
+def _decode_impl() -> str:
+    """Supergroup slot-decode backend: "mxu" (batched one-hot dot) or "vpu"
+    (masked-sum passes).  Both are exact; see the A/B numbers in
+    docs/TPU_DESIGN.md."""
+    import os
+    return os.environ.get("SCAN2CAP_BQ_DECODE", "vpu")
 
 
 def _decode_nth_set_bit(word: jax.Array, r: jax.Array) -> jax.Array:
@@ -125,13 +137,34 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
             g_excl[:, None, :] <= s_ids[None, :, None],
             jnp.logical_not(le_g))
         g_idx = jnp.minimum(jnp.sum(le_g.astype(jnp.int32), axis=-1), WG - 1)
-        gexcl_s = jnp.sum(jnp.where(contains_g, g_excl[:, None, :], 0),
-                          axis=-1)
+        if _decode_impl() == "mxu":
+            # MXU decode: one-hot selection IS a matmul — one batched
+            # (S, WG) @ (WG, 1+2Q) dot extracts, per (m, s), the containing
+            # supergroup's exclusive prefix and all Q candidate words,
+            # replacing Q+1 VPU masked-sum passes over (M, S, WG).  The u32
+            # words ride the f32 MXU as u16 lo/hi halves (<= 65535 is exact
+            # in f32; the prefix counts are <= N < 2^24, also exact);
+            # precision=HIGHEST pins a true-f32 dot (the FLOPs are trivial).
+            # contains_g has at most one true per (m, s) — exactly zero for
+            # padded slots, which reproduces the where-sum's 0 and keeps the
+            # padding semantics.
+            lo = (wordsg & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            hi = (wordsg >> 16).astype(jnp.float32)
+            table = jnp.concatenate(
+                [g_excl[..., None].astype(jnp.float32), lo, hi], axis=-1)
+            sel = jnp.einsum("msg,mgk->msk", contains_g.astype(jnp.float32),
+                             table, precision=jax.lax.Precision.HIGHEST)
+            gexcl_s = sel[..., 0].astype(jnp.int32)
+            cand = (sel[..., 1:1 + Q].astype(jnp.uint32)
+                    | (sel[..., 1 + Q:].astype(jnp.uint32) << 16))
+        else:
+            gexcl_s = jnp.sum(jnp.where(contains_g, g_excl[:, None, :], 0),
+                              axis=-1)
+            cand = jnp.stack(
+                [jnp.sum(jnp.where(contains_g, wordsg[:, None, :, q],
+                                   jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+                 for q in range(Q)], axis=-1)                  # (M, S, Q)
         r_s = s_ids[None, :] - gexcl_s                     # rank in supergroup
-        cand = jnp.stack(
-            [jnp.sum(jnp.where(contains_g, wordsg[:, None, :, q],
-                               jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
-             for q in range(Q)], axis=-1)                      # (M, S, Q)
 
         pcq = jax.lax.population_count(cand).astype(jnp.int32)
         cumq = jnp.cumsum(pcq, axis=-1)                        # in-group incl.
