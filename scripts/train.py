@@ -91,7 +91,8 @@ def model_config_from_args(args):
             use_multiview=args.use_multiview,
             use_height=not args.no_height,
             no_caption=args.no_caption,
-            compute_dtype="bfloat16" if args.bf16 else "float32",
+            compute_dtype=("bfloat16" if getattr(args, "bf16", False)
+                           else "float32"),
         )
     return ModelConfig(
         num_points=args.num_points,
@@ -110,7 +111,8 @@ def model_config_from_args(args):
         use_multiview=args.use_multiview,
         use_height=not args.no_height,
         no_caption=args.no_caption,
-        compute_dtype="bfloat16" if args.bf16 else "float32",
+        compute_dtype=("bfloat16" if getattr(args, "bf16", False)
+                       else "float32"),
     )
 
 
