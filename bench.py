@@ -61,27 +61,10 @@ def measure_train(cfg, model, vocab, emb_table):
     from scan2cap_tpu.config import Config
     from scan2cap_tpu.losses import get_scene_cap_loss
     from scan2cap_tpu.train import create_train_state
-
-    from scan2cap_tpu.data.synthetic import make_scene_batch
+    from scan2cap_tpu.data.synthetic import make_device_train_batch
 
     B = TRAIN_BATCH
-    N = cfg.num_points
-    in_dim = 3 + cfg.input_feature_dim
-    host = make_scene_batch(cfg, batch_size=1, num_objects=8, vocab=vocab,
-                            seed=0)
-    big = {"point_clouds", "vote_label", "vote_label_mask"}
-    batch = {k: jnp.tile(jnp.asarray(v), (B,) + (1,) * (v.ndim - 1))
-             for k, v in host.items() if k not in big}
-    key0 = jax.random.PRNGKey(11)
-    batch["point_clouds"] = jnp.concatenate([
-        jax.random.uniform(key0, (B, N, 3), minval=-4.0, maxval=4.0),
-        jax.random.normal(jax.random.fold_in(key0, 1),
-                          (B, N, in_dim - 3)) * 0.1], -1)
-    batch["vote_label"] = jax.random.normal(
-        jax.random.fold_in(key0, 2), (B, N, 9)) * 0.1
-    batch["vote_label_mask"] = (jax.random.uniform(
-        jax.random.fold_in(key0, 3), (B, N)) < 0.5).astype(jnp.int32)
-    batch["glove_emb_table"] = emb_table
+    batch = make_device_train_batch(cfg, B, vocab, key_seed=11)
 
     state = create_train_state(Config(model=cfg), model, batch,
                                jax.random.PRNGKey(0))

@@ -18,6 +18,7 @@ Differences from the reference (deliberate):
 
 from __future__ import annotations
 
+from collections import deque
 import json
 import os
 import time
@@ -440,6 +441,21 @@ class Loader:
         # have been consumed — copy (or upload to device, as the train loop
         # does) before then.  Off by default.
         self.reuse_buffers = reuse_buffers
+        # worker pool + buffer ring live on the INSTANCE so the
+        # zero-fresh-page steady state survives across epochs (shapes are
+        # static; rebuilding them per __iter__ re-paid seconds of page
+        # faults at every epoch start on fault-throttled hosts)
+        self._pool = None
+        self._buffers = None
+        self._inflight = deque()
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover
+        self.close()
 
     def _shard_size(self):
         # every host must run the same number of steps: floor division
@@ -468,10 +484,26 @@ class Loader:
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards][:self._shard_size()]
         n_batches = len(self)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
-
         nbuf = self.PREFETCH_BATCHES + 2
-        buffers = [None] * nbuf
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self._buffers is None:
+            self._buffers = [None] * nbuf
+        # an early-broken previous epoch may have left workers writing into
+        # the shared ring — settle them before reusing the slots
+        for fs in self._inflight:
+            for f in fs:
+                f.cancel()
+        for fs in self._inflight:
+            for f in fs:
+                if not f.cancelled():
+                    try:
+                        f.result()
+                    except Exception:
+                        pass
+        self._inflight.clear()
+        pool = self._pool
+        buffers = self._buffers
         alloc_lock = __import__("threading").Lock()
 
         def write_into(slot, row, i, rs):
@@ -499,26 +531,22 @@ class Loader:
                                 np.random.RandomState(sd))
                     for i, sd in zip(idxs, seeds)]
 
-        try:
-            from collections import deque
-            window = deque(submit(b)
-                           for b in range(min(self.PREFETCH_BATCHES,
-                                              n_batches)))
-            for b in range(n_batches):
-                fs = window.popleft()
-                nxt = b + self.PREFETCH_BATCHES
-                if nxt < n_batches:
-                    window.append(submit(nxt))
-                if self.reuse_buffers:
-                    for f in fs:
-                        f.result()          # barrier + error propagation
-                    buf = buffers[b % nbuf]
-                    yield (buf if len(fs) == self.batch_size
-                           else {k: v[:len(fs)] for k, v in buf.items()})
-                else:
-                    yield _collate([f.result() for f in fs])
-        finally:
-            pool.shutdown(wait=False)
+        window = self._inflight
+        for b in range(min(self.PREFETCH_BATCHES, n_batches)):
+            window.append(submit(b))
+        for b in range(n_batches):
+            fs = window.popleft()
+            nxt = b + self.PREFETCH_BATCHES
+            if nxt < n_batches:
+                window.append(submit(nxt))
+            if self.reuse_buffers:
+                for f in fs:
+                    f.result()          # barrier + error propagation
+                buf = buffers[b % nbuf]
+                yield (buf if len(fs) == self.batch_size
+                       else {k: v[:len(fs)] for k, v in buf.items()})
+            else:
+                yield _collate([f.result() for f in fs])
 
 
 def get_scanrefer(scanrefer_train_path: str, scanrefer_val_path: str,

@@ -167,3 +167,38 @@ def make_scene_batch(
         "object_id": object_ids,
         "glove_emb_table": table,
     }
+
+
+def make_device_train_batch(cfg, batch_size: int, vocab: dict,
+                            num_objects: int = 8, seed: int = 0,
+                            key_seed: int = 7):
+    """Device-resident synthetic train batch for benchmarks/micro-profiles.
+
+    Small label tensors come from a 1-scene host batch tiled to
+    ``batch_size`` (the benching host link is ~1.6 MB/s — see CLAUDE.md);
+    every N-sized tensor (point_clouds, vote_label(+mask)) is synthesized
+    ON DEVICE from a PRNG key.  Shared by bench.py and the
+    scripts/micro_train_* profiles so the batch recipe cannot drift.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    host = make_scene_batch(cfg, batch_size=1, num_objects=num_objects,
+                            vocab=vocab, seed=seed)
+    big = {"point_clouds", "vote_label", "vote_label_mask"}
+    batch = {k: jnp.tile(jnp.asarray(v), (batch_size,) + (1,) * (v.ndim - 1))
+             for k, v in host.items() if k not in big}
+    key0 = jax.random.PRNGKey(key_seed)
+    N = cfg.num_points
+    in_dim = 3 + cfg.input_feature_dim
+    xyz = jax.random.uniform(key0, (batch_size, N, 3), minval=-4.0,
+                             maxval=4.0)
+    feats = jax.random.normal(jax.random.fold_in(key0, 1),
+                              (batch_size, N, in_dim - 3)) * 0.1
+    batch["point_clouds"] = jnp.concatenate([xyz, feats], -1)
+    batch["vote_label"] = jax.random.normal(
+        jax.random.fold_in(key0, 2), (batch_size, N, 9)) * 0.1
+    batch["vote_label_mask"] = (jax.random.uniform(
+        jax.random.fold_in(key0, 3), (batch_size, N)) < 0.5).astype(jnp.int32)
+    batch["glove_emb_table"] = jnp.asarray(vocab["emb_table"])
+    return batch

@@ -57,33 +57,41 @@ BETA = 3.0
 GAMMA = 0.5
 
 
-def _syn_match(a: str, b: str) -> bool:
-    """True iff the words share a WordNet synset (meteor-1.5 synonymy)."""
-    sa = set(_wn.synsets(a))
-    return bool(sa) and any(s in sa for s in _wn.synsets(b))
+if _HAS_WORDNET:
+    import functools
+
+    @functools.lru_cache(maxsize=65536)
+    def _synset_ids(w: str) -> frozenset:
+        """Cached WordNet synset-name set (corpus lookups are ~0.1 ms each —
+        uncached, an O(H·R) alignment pays thousands per sentence pair)."""
+        return frozenset(s.name() for s in _wn.synsets(w))
 
 
 def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
     """Greedy staged (exact, stem[, wordnet-synonym]) alignment: each hyp
-    token matches the earliest unmatched ref token."""
+    token matches the earliest unmatched ref token.  Per-token keys
+    (stems, synset sets) are computed ONCE per sentence, not per pair."""
     matches: List[Tuple[int, int]] = []
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
 
-    def stage(match_fn):
-        for i, hw in enumerate(hyp):
+    def stage(hkeys, rkeys, match_fn):
+        for i, hk in enumerate(hkeys):
             if used_h[i]:
                 continue
-            for j, rw in enumerate(ref):
-                if not used_r[j] and match_fn(hw, rw):
+            for j, rk in enumerate(rkeys):
+                if not used_r[j] and match_fn(hk, rk):
                     used_h[i] = used_r[j] = True
                     matches.append((i, j))
                     break
 
-    stage(lambda a, b: a == b)
-    stage(lambda a, b: _stem(a) == _stem(b))
+    eq = lambda a, b: a == b
+    stage(hyp, ref, eq)
+    stage([_stem(w) for w in hyp], [_stem(w) for w in ref], eq)
     if _HAS_WORDNET:
-        stage(_syn_match)
+        # meteor-1.5 synonymy: the words share a synset
+        stage([_synset_ids(w) for w in hyp], [_synset_ids(w) for w in ref],
+              lambda a, b: bool(a) and not a.isdisjoint(b))
     matches.sort()
     return matches
 

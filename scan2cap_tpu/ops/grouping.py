@@ -51,9 +51,15 @@ def set_ball_query_mode(mode: str) -> None:
 
 
 def _decode_impl() -> str:
-    """Supergroup slot-decode backend: "mxu" (batched one-hot dot) or "vpu"
-    (masked-sum passes).  Both are exact; see the A/B numbers in
-    docs/TPU_DESIGN.md."""
+    """Supergroup slot-decode backend: "vpu" (masked-sum passes, the
+    measured winner) or "mxu" (batched one-hot dot, kept as the §9
+    negative result).  Both are exact.
+
+    TRACE-TIME semantics: the env var is read while tracing and is NOT
+    part of the jit cache key — set SCAN2CAP_BQ_DECODE before the process
+    first compiles a ball query; flipping it afterwards silently has no
+    effect on already-compiled programs (A/B runs must use separate
+    processes, as scripts/micro_bq_phases.py invocations do)."""
     import os
     return os.environ.get("SCAN2CAP_BQ_DECODE", "vpu")
 

@@ -39,23 +39,8 @@ def run(dtype: str, steps: int):
                       use_multiview=True, compute_dtype=dtype)
     vocab = make_vocab(num_vocabs=NUM_VOCABS, emb_size=300)
     model = CapNet(cfg, num_vocabs=NUM_VOCABS)
-    host = make_scene_batch(cfg, batch_size=1, num_objects=8, vocab=vocab,
-                            seed=0)
-    N = cfg.num_points
-    in_dim = 3 + cfg.input_feature_dim
-    big = {"point_clouds", "vote_label", "vote_label_mask"}
-    batch = {k: jnp.tile(jnp.asarray(v), (BATCH,) + (1,) * (v.ndim - 1))
-             for k, v in host.items() if k not in big}
-    key0 = jax.random.PRNGKey(11)
-    batch["point_clouds"] = jnp.concatenate([
-        jax.random.uniform(key0, (BATCH, N, 3), minval=-4.0, maxval=4.0),
-        jax.random.normal(jax.random.fold_in(key0, 1),
-                          (BATCH, N, in_dim - 3)) * 0.1], -1)
-    batch["vote_label"] = jax.random.normal(
-        jax.random.fold_in(key0, 2), (BATCH, N, 9)) * 0.1
-    batch["vote_label_mask"] = (jax.random.uniform(
-        jax.random.fold_in(key0, 3), (BATCH, N)) < 0.5).astype(jnp.int32)
-    batch["glove_emb_table"] = jnp.asarray(vocab["emb_table"])
+    from scan2cap_tpu.data.synthetic import make_device_train_batch
+    batch = make_device_train_batch(cfg, BATCH, vocab, key_seed=11)
 
     state = create_train_state(Config(model=cfg), model, batch,
                                jax.random.PRNGKey(0))

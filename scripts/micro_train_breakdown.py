@@ -21,7 +21,8 @@ NUM_VOCABS = 3433
 
 def main():
     from scan2cap_tpu.config import Config, ModelConfig, TrainConfig
-    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.data.synthetic import (make_device_train_batch,
+                                             make_scene_batch, make_vocab)
     from scan2cap_tpu.models import CapNet
     from scan2cap_tpu.losses.total import get_scene_cap_loss
 
@@ -41,25 +42,7 @@ def main():
 
     for name, cfg in configs.items():
         model = CapNet(cfg, num_vocabs=NUM_VOCABS)
-        # transfer only the SMALL label tensors (the tunnel runs at
-        # ~1.6 MB/s); synthesize every N-sized tensor on device
-        host = make_scene_batch(cfg, batch_size=1, num_objects=8,
-                                vocab=vocab, seed=0)
-        N = cfg.num_points
-        big = {"point_clouds", "vote_label", "vote_label_mask"}
-        batch = {k: jnp.tile(jnp.asarray(v), (BATCH,) + (1,) * (v.ndim - 1))
-                 for k, v in host.items() if k not in big}
-        key0 = jax.random.PRNGKey(7)
-        in_dim = 3 + cfg.input_feature_dim
-        xyz = jax.random.uniform(key0, (BATCH, N, 3), minval=-4.0, maxval=4.0)
-        feats = jax.random.normal(jax.random.fold_in(key0, 1),
-                                  (BATCH, N, in_dim - 3)) * 0.1
-        batch["point_clouds"] = jnp.concatenate([xyz, feats], -1)
-        batch["vote_label"] = jax.random.normal(
-            jax.random.fold_in(key0, 2), (BATCH, N, 9)) * 0.1
-        batch["vote_label_mask"] = (jax.random.uniform(
-            jax.random.fold_in(key0, 3), (BATCH, N)) < 0.5).astype(jnp.int32)
-        batch["glove_emb_table"] = emb_table
+        batch = make_device_train_batch(cfg, BATCH, vocab, key_seed=7)
         init = jax.jit(model.init,
                        static_argnames=("use_tf", "is_eval", "train"))
         variables = init(jax.random.PRNGKey(0), batch,

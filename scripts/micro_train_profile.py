@@ -23,7 +23,8 @@ NUM_VOCABS = 3433
 
 def main(steps: int, top: int, trace_dir: str, detect_only: bool):
     from scan2cap_tpu.config import ModelConfig
-    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.data.synthetic import (make_device_train_batch,
+                                             make_scene_batch, make_vocab)
     from scan2cap_tpu.models import CapNet
     from scan2cap_tpu.losses.total import get_scene_cap_loss
     from profile_report import summarize
@@ -40,23 +41,7 @@ def main(steps: int, top: int, trace_dir: str, detect_only: bool):
     emb_table = jnp.asarray(vocab["emb_table"])
 
     model = CapNet(cfg, num_vocabs=NUM_VOCABS)
-    host = make_scene_batch(cfg, batch_size=1, num_objects=8,
-                            vocab=vocab, seed=0)
-    N = cfg.num_points
-    big = {"point_clouds", "vote_label", "vote_label_mask"}
-    batch = {k: jnp.tile(jnp.asarray(v), (BATCH,) + (1,) * (v.ndim - 1))
-             for k, v in host.items() if k not in big}
-    key0 = jax.random.PRNGKey(7)
-    in_dim = 3 + cfg.input_feature_dim
-    xyz = jax.random.uniform(key0, (BATCH, N, 3), minval=-4.0, maxval=4.0)
-    feats = jax.random.normal(jax.random.fold_in(key0, 1),
-                              (BATCH, N, in_dim - 3)) * 0.1
-    batch["point_clouds"] = jnp.concatenate([xyz, feats], -1)
-    batch["vote_label"] = jax.random.normal(
-        jax.random.fold_in(key0, 2), (BATCH, N, 9)) * 0.1
-    batch["vote_label_mask"] = (jax.random.uniform(
-        jax.random.fold_in(key0, 3), (BATCH, N)) < 0.5).astype(jnp.int32)
-    batch["glove_emb_table"] = emb_table
+    batch = make_device_train_batch(cfg, BATCH, vocab, key_seed=7)
     init = jax.jit(model.init, static_argnames=("use_tf", "is_eval", "train"))
     variables = init(jax.random.PRNGKey(0), batch,
                      use_tf=True, is_eval=False, train=False)

@@ -113,13 +113,20 @@ def synthesize(args):
 def main():
     args = parse_args()
     marker = os.path.join(args.root, "ScanRefer_filtered_train.json")
-    if args.regen or not os.path.exists(marker):
+    # regenerate whenever ANY synthesis parameter differs from what is on
+    # disk — a stale dataset silently profiled under new labels would make
+    # the recorded numbers unattributable
+    params_path = os.path.join(args.root, "synth_params.json")
+    params = {k: getattr(args, k) for k in
+              ("num_scenes", "anns_per_scene", "scene_points")}
+    on_disk = None
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            on_disk = json.load(f)
+    if args.regen or not os.path.exists(marker) or on_disk != params:
         synthesize(args)
-    else:
-        with open(marker) as f:
-            n = len({d["scene_id"] for d in json.load(f)})
-        if n < args.num_scenes:
-            synthesize(args)
+        with open(params_path, "w") as f:
+            json.dump(params, f)
 
     from scan2cap_tpu import native
     from scan2cap_tpu.data.dataset import Loader, ScannetReferenceDataset

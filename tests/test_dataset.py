@@ -284,3 +284,24 @@ def test_loader_ring_overwrites_after_window():
                 not np.array_equal(first[k], first_copy[k]) for k in first)
             break
     assert overwritten
+
+
+def test_loader_ring_persists_across_epochs(fixture_data):
+    # the reuse_buffers ring + worker pool are instance state: epoch 2 must
+    # reuse epoch 1's preallocated batch arrays (the zero-fresh-page steady
+    # state the ring exists for), and an early-broken epoch must not corrupt
+    # the next one
+    ds = _make_dataset(fixture_data)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=3,
+                    num_workers=2, reuse_buffers=True)
+    first = [dict(b) for b in loader]          # epoch 0 (copies the dict shells)
+    ids_epoch0 = {id(v) for b in first for v in b.values()}
+    # break epoch 1 early mid-prefetch
+    for i, b in enumerate(loader):
+        if i == 0:
+            break
+    out = list(loader)                          # epoch 2 runs clean
+    assert len(out) == len(loader)
+    ids_epoch2 = {id(v) for b in out for v in b.values()}
+    assert ids_epoch0 & ids_epoch2, "ring buffers were not reused"
+    loader.close()
