@@ -15,7 +15,7 @@ Module paths:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -223,3 +223,99 @@ def _merge(dst, src):
         out[k] = _merge(out[k], v) if (
             isinstance(v, dict) and isinstance(out.get(k), dict)) else v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax -> reference .pth (migration path back)
+# ---------------------------------------------------------------------------
+
+def _get(tree: dict, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _dense_to_conv(k: np.ndarray, conv1d: bool) -> np.ndarray:
+    """Dense kernel (in, out) -> torch conv weight (out, in, 1[, 1])."""
+    w = np.ascontiguousarray(k.T)
+    return w[..., None] if conv1d else w[..., None, None]
+
+
+def export_votenet_checkpoint(params: dict, batch_stats: dict,
+                              out_path: Optional[str] = None) -> dict:
+    """Inverse of convert_votenet_checkpoint: emit the detection modules
+    (backbone_net/vgen/proposal) as a torch state_dict in the reference's
+    exact key layout (scripts/train.py:80-105 warm-start contract), so a
+    model trained here can be loaded by the reference (or by this repo's
+    own --use_pretrained path).  Returns the state_dict; writes it with
+    torch.save when ``out_path`` is given.
+    """
+    import torch
+
+    sd: dict = {}
+
+    def put(key, arr, conv=None):
+        a = np.asarray(arr, np.float32)
+        if conv is not None:
+            a = _dense_to_conv(a, conv1d=(conv == "1d"))
+        sd[key] = torch.from_numpy(np.ascontiguousarray(a).copy())
+
+    def put_mlp(prefix, base):
+        j = 0
+        while f"dense_{j}" in _get_node(params, base):
+            put(f"{prefix}.layer{j}.conv.weight",
+                _get(params, base + (f"dense_{j}", "kernel")), conv="2d")
+            leaf = _get_node(params, base)[f"dense_{j}"]
+            if "bias" in leaf:
+                put(f"{prefix}.layer{j}.conv.bias", leaf["bias"])
+            bn = f"{prefix}.layer{j}.bn.bn"
+            put(bn + ".weight", _get(params, base + (f"bn_{j}", "scale")))
+            put(bn + ".bias", _get(params, base + (f"bn_{j}", "bias")))
+            put(bn + ".running_mean",
+                _get(batch_stats, base + (f"bn_{j}", "mean")))
+            put(bn + ".running_var",
+                _get(batch_stats, base + (f"bn_{j}", "var")))
+            sd[bn + ".num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+            j += 1
+
+    def put_bn(prefix, base):
+        put(prefix + ".weight", _get(params, base + ("scale",)))
+        put(prefix + ".bias", _get(params, base + ("bias",)))
+        put(prefix + ".running_mean", _get(batch_stats, base + ("mean",)))
+        put(prefix + ".running_var", _get(batch_stats, base + ("var",)))
+        sd[prefix + ".num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+
+    def put_conv(prefix, base):
+        leaf = _get_node(params, base)
+        put(prefix + ".weight", leaf["kernel"], conv="1d")
+        if "bias" in leaf:
+            put(prefix + ".bias", leaf["bias"])
+
+    for i in (1, 2, 3, 4):
+        put_mlp(f"backbone_net.sa{i}.mlp_module",
+                ("backbone_net", f"sa{i}", "mlp"))
+    for i in (1, 2):
+        put_mlp(f"backbone_net.fp{i}.mlp", ("backbone_net", f"fp{i}", "mlp"))
+    for k in (1, 2, 3):
+        put_conv(f"vgen.conv{k}", ("vgen", f"conv{k}"))
+    for k in (1, 2):
+        put_bn(f"vgen.bn{k}", ("vgen", f"bn{k}"))
+    put_mlp("proposal.vote_aggregation.mlp_module",
+            ("proposal", "vote_aggregation", "mlp"))
+    put_conv("proposal.proposal.0", ("proposal", "conv1"))
+    put_bn("proposal.proposal.1", ("proposal", "bn1"))
+    put_conv("proposal.proposal.3", ("proposal", "conv2"))
+    put_bn("proposal.proposal.4", ("proposal", "bn2"))
+    put_conv("proposal.proposal.6", ("proposal", "conv3"))
+
+    if out_path is not None:
+        torch.save(sd, out_path)
+    return sd
+
+
+def _get_node(tree: dict, path: Tuple[str, ...]) -> dict:
+    node = tree
+    for p in path:
+        node = node[p]
+    return node

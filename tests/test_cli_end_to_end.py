@@ -103,6 +103,20 @@ def test_train_cli_runs(cli_data):
     assert res.returncode == 0, res.stderr[-3000:]
     assert "check ok" in res.stdout, res.stdout[-500:]
 
+    # reverse converter: trained run -> reference-layout .pth -> warm-start
+    # load through the forward converter (the --use_pretrained contract)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export_pth.py"),
+         "--folder", run.name],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    pth = run / "votenet.pth"
+    assert pth.exists()
+    from scan2cap_tpu.convert import convert_votenet_checkpoint
+    back_p, back_s = convert_votenet_checkpoint(str(pth))
+    assert set(back_p) == {"backbone_net", "vgen", "proposal"}
+    assert "mlp" in back_p["backbone_net"]["sa1"]
+
 
 @pytest.mark.slow
 def test_train_cli_resume(cli_data):

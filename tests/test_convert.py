@@ -88,3 +88,53 @@ def test_shared_mlp_matches_torch_with_converted_weights(rng):
             t = torch.relu(bn(conv(t)))
     want = np.transpose(t.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_export_votenet_round_trips(tmp_path):
+    # Flax -> .pth (reference key layout) -> Flax must be the identity on
+    # the detection modules; the forward mapping is itself validated against
+    # torch goldens above, so the inverse inherits that contract
+    import jax
+    import jax.numpy as jnp
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.convert import (convert_votenet_checkpoint,
+                                      export_votenet_checkpoint)
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+
+    cfg = ModelConfig(num_points=1024, sa_npoints=(64, 32, 16, 8),
+                      max_num_obj=8, no_caption=True)
+    vocab = make_vocab(num_vocabs=32, emb_size=300)
+    batch = make_scene_batch(cfg, batch_size=1, num_objects=2, vocab=vocab,
+                             seed=0)
+    model = CapNet(cfg, num_vocabs=32)
+    variables = jax.jit(model.init,
+                        static_argnames=("use_tf", "is_eval", "train"))(
+        jax.random.PRNGKey(1),
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        use_tf=True, is_eval=False, train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    out = str(tmp_path / "exported.pth")
+    sd = export_votenet_checkpoint(params, stats, out)
+    # the reference loads with strict state_dicts: BN buffers must be there
+    assert "backbone_net.sa1.mlp_module.layer0.bn.bn.num_batches_tracked" in sd
+    assert sd["vgen.conv1.weight"].shape[-1] == 1          # conv1d layout
+
+    back_p, back_s = convert_votenet_checkpoint(out)
+    for sub in ("backbone_net", "vgen", "proposal"):
+        got = jax.tree_util.tree_leaves_with_path(back_p[sub])
+        for path, leaf in got:
+            want = params[sub]
+            for k in path:
+                want = want[k.key]
+            np.testing.assert_array_equal(leaf, np.asarray(want),
+                                          err_msg=f"{sub}{path}")
+        got_s = jax.tree_util.tree_leaves_with_path(back_s.get(sub, {}))
+        for path, leaf in got_s:
+            want = stats[sub]
+            for k in path:
+                want = want[k.key]
+            np.testing.assert_array_equal(leaf, np.asarray(want),
+                                          err_msg=f"stats {sub}{path}")
