@@ -86,19 +86,22 @@ class ShowAttendAndTell2D(nn.Module):
     add_global: bool = True
 
     def setup(self):
+        # every projection feeding the GRUs is BIAS-FREE and 128-wide in the
+        # reference (tdbu.py:29-48, bias_state=False; map_topdown/map_lang
+        # are Linear(128, 128) and both GRUCells take input_size=128)
         if self.add_global:
             self.reduce_dim = nn.Dense(self.context_size, name="reduce_dim")
-        self.map_topdown_1 = nn.Dense(128, name="map_topdown_1")
-        self.map_topdown_2 = nn.Dense(128, name="map_topdown_2")
-        self.map_topdown_3 = nn.Dense(128, name="map_topdown_3")
-        self.map_topdown = nn.Dense(self.emb_size, name="map_topdown")
+        self.map_topdown_1 = nn.Dense(128, use_bias=False, name="map_topdown_1")
+        self.map_topdown_2 = nn.Dense(128, use_bias=False, name="map_topdown_2")
+        self.map_topdown_3 = nn.Dense(128, use_bias=False, name="map_topdown_3")
+        self.map_topdown = nn.Dense(128, use_bias=False, name="map_topdown")
         self.recurrent_cell_1 = GRUCell(self.hidden_size, name="recurrent_cell_1")
         self.map_feat = nn.Dense(self.hidden_size, use_bias=False, name="map_feat")
         self.map_hidd = nn.Dense(self.hidden_size, use_bias=False, name="map_hidd")
         self.attend = nn.Dense(1, use_bias=False, name="attend")
-        self.map_lang_1 = nn.Dense(128, name="map_lang_1")
-        self.map_lang_2 = nn.Dense(128, name="map_lang_2")
-        self.map_lang = nn.Dense(self.emb_size, name="map_lang")
+        self.map_lang_1 = nn.Dense(128, use_bias=False, name="map_lang_1")
+        self.map_lang_2 = nn.Dense(128, use_bias=False, name="map_lang_2")
+        self.map_lang = nn.Dense(128, use_bias=False, name="map_lang")
         self.recurrent_cell_2 = GRUCell(self.hidden_size, name="recurrent_cell_2")
         self.classifier = nn.Dense(self.num_vocabs, name="classifier")
 
@@ -128,13 +131,18 @@ class ShowAttendAndTell2D(nn.Module):
             else:
                 tokens = jnp.argmax(logits, -1)
                 nxt, out = emb_table[tokens], tokens
-            return (h1n, h2n, nxt), out
+            return (h1n, h2n, nxt), (out, attn[..., 0])
 
         if self.is_initializing():
-            _, out0 = step((h1, h2, first), jnp.asarray(0))
-            return jnp.zeros((N, num_steps) + out0.shape[1:], out0.dtype)
-        _, outs = jax.lax.scan(step, (h1, h2, first), jnp.arange(num_steps))
-        return jnp.moveaxis(outs, 0, 1)
+            _, (out0, attn0) = step((h1, h2, first), jnp.asarray(0))
+            return (jnp.zeros((N, num_steps) + out0.shape[1:], out0.dtype),
+                    jnp.zeros((N,) + attn0.shape[1:] + (num_steps,),
+                              attn0.dtype))
+        _, (outs, attns) = jax.lax.scan(step, (h1, h2, first),
+                                        jnp.arange(num_steps))
+        # attn masks stacked on the LAST axis, as the reference cats them
+        # (tdbu.py:213-214: (B, num_proposals, steps) "topdown_attn")
+        return jnp.moveaxis(outs, 0, 1), jnp.moveaxis(attns, 0, -1)
 
     @nn.compact
     def __call__(self, data_dict: Dict, is_eval: bool = False) -> Dict:
@@ -148,10 +156,10 @@ class ShowAttendAndTell2D(nn.Module):
         c_feat = d["c_feats"]
         T = self.max_desc_len + 1
         if not is_eval:
-            d["lang_cap"] = self._decode(
+            d["lang_cap"], d["topdown_attn"] = self._decode(
                 t_feat, c_feat, d["lang_feat"], None, T, True)
         else:
-            d["lang_cap"] = self._decode(
+            d["lang_cap"], d["topdown_attn"] = self._decode(
                 t_feat, c_feat, d["lang_feat"], d["glove_emb_table"],
                 self.max_desc_len - 1, False)
         return d

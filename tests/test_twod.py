@@ -132,3 +132,74 @@ def test_twod_dataset_and_preprocessing(tmp_path, rng):
     assert d["c_mask"].sum() == 1
     assert d["lang_ids"][0] == 2  # sos
     assert sample_id_of(entries[0]) == "scene0000_00-0_0"
+
+
+def test_tdbu_step_matches_torch(rng):
+    # one decode step of ShowAttendAndTell2D vs a torch build of the
+    # reference step equations (Scan2Cap-2D/models/tdbu.py:55-103:
+    # bias-free 128-wide fused projections, two GRUCells, additive
+    # attention over the context features)
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from scan2cap_tpu.twod.models import ShowAttendAndTell2D
+
+    B, P, V, E, C, H = 3, 5, 20, 16, 24, 32
+    model = ShowAttendAndTell2D(num_vocabs=V, emb_size=E, feat_size=48,
+                                context_size=C, hidden_size=H,
+                                max_desc_len=4, add_global=False)
+    d = {
+        "t_feat": jnp.asarray(rng.randn(B, C).astype(np.float32)),
+        "c_feats": jnp.asarray(rng.randn(B, P, C).astype(np.float32)),
+        "lang_feat": jnp.asarray(rng.randn(B, 5, E).astype(np.float32)),
+        "lang_len": jnp.full((B,), 5, jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), d, is_eval=False)
+    out = model.apply(variables, d, is_eval=False)
+    got_logits = np.asarray(out["lang_cap"])[:, 0]      # first step
+    got_attn = np.asarray(out["topdown_attn"])[:, :, 0]
+
+    p = variables["params"]
+
+    def lin(name):
+        w = torch.tensor(np.asarray(p[name]["kernel"]).T)
+        m = torch.nn.Linear(w.shape[1], w.shape[0], bias="bias" in p[name])
+        with torch.no_grad():
+            m.weight.copy_(w)
+            if "bias" in p[name]:
+                m.bias.copy_(torch.tensor(np.asarray(p[name]["bias"])))
+        return m
+
+    def gru(name, in_size):
+        g = torch.nn.GRUCell(in_size, H)
+        with torch.no_grad():
+            g.weight_ih.copy_(torch.tensor(np.asarray(p[name]["ih"]["kernel"]).T))
+            g.weight_hh.copy_(torch.tensor(np.asarray(p[name]["hh"]["kernel"]).T))
+            g.bias_ih.copy_(torch.tensor(np.asarray(p[name]["ih"]["bias"])))
+            g.bias_hh.copy_(torch.tensor(np.asarray(p[name]["hh"]["bias"])))
+        return g
+
+    t_feat = torch.tensor(np.asarray(d["t_feat"]))
+    c_feats = torch.tensor(np.asarray(d["c_feats"]))
+    word0 = torch.tensor(np.asarray(d["lang_feat"]))[:, 0]
+    h1 = torch.zeros(B, H)
+    h2 = torch.zeros(B, H)
+    with torch.no_grad():
+        x = torch.tanh(lin("map_topdown_3")(word0)
+                       + lin("map_topdown_1")(h2)
+                       + lin("map_topdown_2")(t_feat))
+        x = torch.relu(lin("map_topdown")(x))
+        h1 = gru("recurrent_cell_1", 128)(x, h1)
+        combined = torch.tanh(lin("map_feat")(c_feats)
+                              + lin("map_hidd")(h1).unsqueeze(1))
+        masks = torch.softmax(lin("attend")(combined), dim=1)
+        attended = (c_feats * masks).sum(1)
+        lang = torch.tanh(lin("map_lang_1")(attended)
+                          + lin("map_lang_2")(h1))
+        lang = torch.relu(lin("map_lang")(lang))
+        h2 = gru("recurrent_cell_2", 128)(lang, h2)
+        want_logits = lin("classifier")(h2).numpy()
+        want_attn = masks[..., 0].numpy()
+
+    np.testing.assert_allclose(got_logits, want_logits, atol=2e-5)
+    np.testing.assert_allclose(got_attn, want_attn, atol=2e-6)
