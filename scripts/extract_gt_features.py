@@ -23,8 +23,18 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--folder", type=str, required=True,
+    p.add_argument("--folder", type=str, default="",
                    help="trained MaskVoteNet run folder")
+    p.add_argument("--pth", type=str, default="",
+                   help="released MaskVoteNet .pth (the reference's "
+                        "PRETRAIN_MASK_VOTENET_* extractors, "
+                        "extract_gt_features.py:68-69) — no run folder "
+                        "needed; model config comes from the CLI flags")
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--no_height", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_normal", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--dataset", type=str, default="ScanRefer")
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--epoch", type=int, default=100,
@@ -47,9 +57,17 @@ def extract(args):
     from scan2cap_tpu.train.checkpoints import CheckpointIO
 
     paths = PathConfig()
-    folder = os.path.join(paths.output, args.folder)
-    with open(os.path.join(folder, "info.json")) as f:
-        info = json.load(f)
+    if not args.folder and not args.pth:
+        raise SystemExit("need --folder (trained run) or --pth "
+                         "(released extractor weights)")
+    if args.folder:
+        folder = os.path.join(paths.output, args.folder)
+        with open(os.path.join(folder, "info.json")) as f:
+            info = json.load(f)
+    else:
+        info = {"num_points": args.num_points, "no_height": args.no_height,
+                "use_color": args.use_color, "use_normal": args.use_normal,
+                "use_multiview": args.use_multiview}
     # same CI shrink knob as scripts/train_maskvotenet.py — the restored
     # checkpoint's shapes must match the training-time pyramid
     tiny = dict(sa_npoints=(128, 64, 32, 16)) \
@@ -83,9 +101,19 @@ def extract(args):
     example = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     init = jax.jit(model.init, static_argnames=("train",))
     variables = init(jax.random.PRNGKey(0), example, train=False)
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
-        {"params": variables["params"],
-         "batch_stats": variables["batch_stats"]})
+    if args.pth:
+        # MaskVoteNet's torch tree uses the same module names/Sequential
+        # indices as VoteNet (models/mask_votenet.py:145-166), so the
+        # VoteNet converter applies verbatim
+        from scan2cap_tpu.convert import convert_votenet_checkpoint, _merge
+        conv_p, conv_s = convert_votenet_checkpoint(args.pth)
+        restored = {"params": _merge(variables["params"], conv_p),
+                    "batch_stats": _merge(variables["batch_stats"], conv_s)}
+    else:
+        restored = CheckpointIO(
+            os.path.join(folder, "ckpt")).restore_best_or_last(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]})
 
     @jax.jit
     def forward(batch):

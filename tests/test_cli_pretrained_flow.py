@@ -57,6 +57,22 @@ def test_pretrained_gt_track(cli_data):
     _run([os.path.join(REPO, "scripts", "extract_gt_features.py"),
           "--folder", mvn_run, "--split", "val", "--batch_size", "2"], env)
 
+    # 2b. the released-.pth path: export the trained run to a reference-
+    # layout .pth and extract directly from it (no run folder), mirroring
+    # the reference's PRETRAIN_MASK_VOTENET_* flow
+    _run([os.path.join(REPO, "scripts", "export_pth.py"),
+          "--folder", mvn_run], env)
+    pth = cli_data / "outputs" / mvn_run / "votenet.pth"
+    assert pth.exists()
+    _run([os.path.join(REPO, "scripts", "extract_gt_features.py"),
+          "--pth", str(pth), "--split", "val", "--batch_size", "2",
+          "--num_points", "512",
+          "--out", str(data / "gt_pth_val.hdf5")], env)
+    with h5py.File(data / "gt_pth_val.hdf5", "r") as db:
+        feats = next(np.asarray(db[k]) for k in db.keys()
+                     if k.endswith("_features"))
+        assert feats.shape[-1] == 128 and np.isfinite(feats).all()
+
     train_db = data / "gt_ScanRefer_features_train.hdf5"
     val_db = data / "gt_ScanRefer_features_val.hdf5"
     assert train_db.exists() and val_db.exists()

@@ -138,3 +138,44 @@ def test_export_votenet_round_trips(tmp_path):
                 want = want[k.key]
             np.testing.assert_array_equal(leaf, np.asarray(want),
                                           err_msg=f"stats {sub}{path}")
+
+
+def test_maskvotenet_pth_round_trip(tmp_path):
+    # MaskVoteNet's torch tree shares VoteNet's module names and Sequential
+    # indices (reference models/mask_votenet.py:145-166), so the VoteNet
+    # converter pair must round-trip its (backbone/vgen/proposal) tree too —
+    # this is the --pth path of scripts/extract_gt_features.py
+    import jax
+    import jax.numpy as jnp
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.models.mask_votenet import MaskVoteNet
+    from scan2cap_tpu.convert import (convert_votenet_checkpoint,
+                                      export_votenet_checkpoint, _merge)
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+
+    cfg = ModelConfig(num_points=1024, sa_npoints=(64, 32, 16, 8),
+                      num_proposals=1, max_num_obj=1, no_caption=True)
+    vocab = make_vocab(num_vocabs=16, emb_size=300)
+    batch = make_scene_batch(cfg, batch_size=1, num_objects=1, vocab=vocab,
+                             seed=0)
+    batch["point_clouds"] = np.concatenate(
+        [batch["point_clouds"],
+         np.zeros(batch["point_clouds"].shape[:-1] + (1,), np.float32)], -1)
+    model = MaskVoteNet(cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batch.items()}, train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    out = str(tmp_path / "mvn.pth")
+    export_votenet_checkpoint(params, stats, out)
+    back_p, back_s = convert_votenet_checkpoint(out)
+    merged_p = _merge(params, back_p)
+    merged_s = _merge(stats, back_s)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(merged_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(merged_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
