@@ -22,8 +22,19 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--folder", type=str, required=True,
+    p.add_argument("--folder", type=str, default="",
                    help="trained (detection) CapNet run folder")
+    p.add_argument("--pth", type=str, default="",
+                   help="released VoteNet .pth (the reference's "
+                        "PRETRAIN_VOTENET_* detectors, "
+                        "extract_votenet_features.py:77-78) — with no run "
+                        "folder, model config comes from the CLI flags")
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--num_proposals", type=int, default=256)
+    p.add_argument("--no_height", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_normal", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--dataset", type=str, default="ScanRefer")
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--batch_size", type=int, default=8)
@@ -49,9 +60,24 @@ def extract(args):
     from train import model_config_from_args
 
     paths = PathConfig()
-    folder = os.path.join(paths.output, args.folder)
-    with open(os.path.join(folder, "info.json")) as f:
-        targs = argparse.Namespace(**json.load(f))
+    if not args.folder and not args.pth:
+        raise SystemExit("need --folder (trained run) or --pth "
+                         "(released detector weights)")
+    if args.folder:
+        folder = os.path.join(paths.output, args.folder)
+        with open(os.path.join(folder, "info.json")) as f:
+            targs = argparse.Namespace(**json.load(f))
+    else:
+        # fill the trainer-arg surface model_config_from_args expects with
+        # its own defaults, overridden by this CLI's feature flags
+        targs = argparse.Namespace(
+            num_points=args.num_points, num_proposals=args.num_proposals,
+            num_locals=-1,
+            num_graph_steps=0, query_mode="corner", graph_mode="edge_conv",
+            graph_aggr="add", use_relation=False, use_orientation=False,
+            use_distance=False, use_topdown=False, use_color=args.use_color,
+            use_normal=args.use_normal, use_multiview=args.use_multiview,
+            no_height=args.no_height, no_caption=True)
     mcfg = model_config_from_args(targs).__class__(
         **{**model_config_from_args(targs).__dict__, "no_caption": True})
     cfg = Config(model=mcfg)
@@ -83,10 +109,15 @@ def extract(args):
     model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
     example = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(0))
-    restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
-        {"params": state.params, "batch_stats": state.batch_stats})
-    state = state.replace(params=restored["params"],
-                          batch_stats=restored["batch_stats"])
+    if args.pth:
+        from scan2cap_tpu.convert import mount_detection_weights
+        state = mount_detection_weights(state, args.pth)
+    else:
+        restored = CheckpointIO(
+            os.path.join(folder, "ckpt")).restore_best_or_last(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
     eval_step = make_eval_step(cfg, model)
 
     out_path = args.out or os.path.join(

@@ -133,6 +133,17 @@ def test_pretrained_votenet_track(cli_data):
         assert any(k.endswith("_object_ids") for k in keys)
         assert any(k.endswith("_gt_corners") for k in keys)
 
+    # 2b. released-.pth path: export the detector and extract directly from
+    # the .pth (no run folder), mirroring the reference's PRETRAIN_VOTENET_*
+    _run([os.path.join(REPO, "scripts", "export_pth.py"),
+          "--folder", det_run], env)
+    _run([os.path.join(REPO, "scripts", "extract_votenet_features.py"),
+          "--pth", str(cli_data / "outputs" / det_run / "votenet.pth"),
+          "--split", "val", "--batch_size", "2", "--num_points", "512",
+          "--num_proposals", "16",
+          "--out", str(data / "votenet_pth_val.hdf5")], env)
+    assert (data / "votenet_pth_val.hdf5").exists()
+
     # 3. caption-only training over VoteNet features
     _run([os.path.join(REPO, "scripts", "train_pretrained.py"),
           "--mode", "votenet", "--epoch", "1", "--batch_size", "2",
