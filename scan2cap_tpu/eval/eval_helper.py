@@ -124,8 +124,18 @@ def feed_scene_cap(
     organized: Dict,
     min_iou: float = 0.5,
     use_nms: bool = True,
+    intermediates: Optional[Dict] = None,
 ) -> Dict:
-    """Run eval over a loader and return the candidates dict."""
+    """Run eval over a loader and return the candidates dict.
+
+    ``intermediates``: pass a dict to also collect the reference's
+    --save_interm dump (eval_helper.py:242-268) per kept object —
+    object_name, box corners, decoded caption + tokens, and (when the
+    decoder emitted them, make_eval_step(keep_attn=True)) the per-step
+    attention weights over the local context slots with their proposal ids
+    and box corners.  The reference stores full-K attention masks; every
+    non-local slot there is exactly 0 (models/caption.py), so the L-slot
+    form is the same information, dense."""
     candidates: Dict[str, List[str]] = {}
     idx2word = dataset.vocabulary["idx2word"]
     emb_table = jnp.asarray(dataset.emb_table)   # upload ONCE (slow host link)
@@ -139,6 +149,12 @@ def feed_scene_cap(
         det_ids = np.asarray(post["detected_object_ids"])
         caps = np.asarray(post["captions"])
         ds_idx = np.asarray(batch["dataset_idx"])
+        if intermediates is not None:
+            corners = np.asarray(out["bbox_corner"])
+            attn = (np.asarray(out["topdown_attn"])
+                    if "topdown_attn" in out else None)
+            slots = (np.asarray(out["topdown_attn_slots"])
+                     if "topdown_attn_slots" in out else None)
         for b in range(keep.shape[0]):
             scene_id = dataset.scanrefer[int(ds_idx[b])]["scene_id"]
             for k in np.where(keep[b])[0]:
@@ -150,7 +166,21 @@ def feed_scene_cap(
                 except KeyError:
                     continue
                 key = f"{scene_id}|{object_id}|{object_name}"
-                candidates[key] = [decode_caption(caps[b, k], idx2word)]
+                caption = decode_caption(caps[b, k], idx2word)
+                candidates[key] = [caption]
+                if intermediates is not None:
+                    entry = intermediates.setdefault(
+                        scene_id, {}).setdefault(object_id, {})
+                    entry["object_name"] = object_name
+                    entry["box_corner"] = corners[b, k].tolist()
+                    entry["description"] = caption
+                    entry["token"] = caption.split(" ")
+                    if attn is not None and slots is not None:
+                        sl = slots[b, k]
+                        entry["object_attn_weight"] = attn[b, k].tolist()
+                        entry["object_attn_slots"] = sl.tolist()
+                        entry["object_attn_context"] = \
+                            corners[b, sl].tolist()
     return candidates
 
 
@@ -185,6 +215,7 @@ def eval_cap(
     corpus: Optional[Dict] = None,
     use_meteor_jar: bool = False,
     use_nms: bool = True,
+    intermediates: Optional[Dict] = None,
 ):
     """Full caption evaluation (eval_helper.py:388-512):
     corpus prep → model feed → metric scoring."""
@@ -194,5 +225,5 @@ def eval_cap(
                                 else dataset.scanrefer)
     candidates = feed_scene_cap(
         eval_step, state, dataset, loader, organized, min_iou,
-        use_nms=use_nms)
+        use_nms=use_nms, intermediates=intermediates)
     return score_captions(corpus, candidates, use_meteor_jar)

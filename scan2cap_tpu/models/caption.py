@@ -405,15 +405,21 @@ class TopDownSceneCaptionModule(nn.Module):
             logits = self.classifier(h2n)
             tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
             nxt = emb_table[tokens]
-            return (h1n, h2n, nxt), tokens
+            return (h1n, h2n, nxt), (tokens, attn)
 
+        L = base_loc.shape[2]
         if self.is_initializing():
             step((h1, h2, first_input), jnp.asarray(0))
-            return jnp.zeros((B, kc, num_steps), jnp.int32)
+            return (jnp.zeros((B, kc, num_steps), jnp.int32),
+                    jnp.zeros((B, kc, num_steps, L), tgt.dtype))
 
-        (_, _, _), outs = jax.lax.scan(
+        (_, _, _), (outs, attns) = jax.lax.scan(
             step, (h1, h2, first_input), jnp.arange(num_steps))
-        return jnp.transpose(outs, (1, 2, 0))         # (T,B,kc) -> (B,kc,T)
+        # (T,B,kc[,L]) -> (B,kc,T[,L]); attn is the per-step softmax over the
+        # L local slots — exactly the nonzero entries of the reference's
+        # full-K "topdown_attn" masks (all other slots underflow to 0)
+        return (jnp.transpose(outs, (1, 2, 0)),
+                jnp.transpose(attns, (1, 2, 0, 3)))
 
     def _decode_scene_local(
         self,
@@ -460,15 +466,21 @@ class TopDownSceneCaptionModule(nn.Module):
             logits = self.classifier(h2n)
             tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
             nxt = emb_table[tokens]
-            return (h1n, h2n, nxt), tokens
+            return (h1n, h2n, nxt), (tokens, attn)
 
+        L = base_loc.shape[2]
         if self.is_initializing():
             step((h1, h2, first_input), jnp.asarray(0))
-            return jnp.zeros((B, kc, num_steps), jnp.int32)
+            return (jnp.zeros((B, kc, num_steps), jnp.int32),
+                    jnp.zeros((B, kc, num_steps, L), tgt.dtype))
 
-        (_, _, _), outs = jax.lax.scan(
+        (_, _, _), (outs, attns) = jax.lax.scan(
             step, (h1, h2, first_input), jnp.arange(num_steps))
-        return jnp.transpose(outs, (1, 2, 0))         # (T,B,kc) -> (B,kc,T)
+        # (T,B,kc[,L]) -> (B,kc,T[,L]); attn is the per-step softmax over the
+        # L local slots — exactly the nonzero entries of the reference's
+        # full-K "topdown_attn" masks (all other slots underflow to 0)
+        return (jnp.transpose(outs, (1, 2, 0)),
+                jnp.transpose(attns, (1, 2, 0, 3)))
 
     def forward_scene_batch(self, data_dict: dict) -> dict:
         d = dict(data_dict)
@@ -519,12 +531,13 @@ class TopDownSceneCaptionModule(nn.Module):
             # one scan over all K targets: the per-step working set is only
             # (B, K, L, ·) so the (B·kc, K, H) memory pressure that forced
             # eval_chunk on the full-K path is gone
-            d["lang_cap"] = self._decode_scene_local(
+            d["lang_cap"], d["topdown_attn"] = self._decode_scene_local(
                 _shard_targets(obj_feats),
                 _shard_targets(sh_loc),
                 _shard_targets(obj_loc),
                 jnp.broadcast_to(sos[:, None], (B, K, sos.shape[-1])),
                 emb_table, T_dec)
+            d["topdown_attn_slots"] = loc_idx         # (B, K, L) proposal ids
             d["valid_masks"] = all_valid
             return d
 

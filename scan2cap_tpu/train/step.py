@@ -113,7 +113,8 @@ def make_train_step(
 
 
 def make_eval_step(cfg: Config, model: CapNet,
-                   detection_loss: bool = True) -> Callable:
+                   detection_loss: bool = True,
+                   keep_attn: bool = False) -> Callable:
     """Returns jitted (state, batch) -> data_dict with eval-mode captions and
     (optionally) object_assignment from the detection loss, as the reference's
     eval path does (lib/eval_helper.py:170)."""
@@ -125,6 +126,8 @@ def make_eval_step(cfg: Config, model: CapNet,
         "object_assignment", "objectness_label", "objectness_mask",
         "valid_masks",
     )
+    if keep_attn:   # --save_interm: per-step attention over the local slots
+        keep_keys = keep_keys + ("topdown_attn", "topdown_attn_slots")
 
     @jax.jit
     def eval_step(state: TrainState, batch: Dict):

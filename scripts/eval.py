@@ -38,6 +38,10 @@ def parse_args():
                         "the folder checkpoint: a converted torch .pth "
                         "(the reference's --eval_pretrained) or a run name")
     p.add_argument("--force", action="store_true")
+    p.add_argument("--save_interm", action="store_true",
+                   help="dump per-object boxes/captions/attention to "
+                        "interm.json (reference --save_interm, "
+                        "lib/eval_helper.py:242-275)")
     return p.parse_args()
 
 
@@ -119,7 +123,7 @@ def evaluate(args):
                          "batch_stats": state.batch_stats}))
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
-    eval_step = make_eval_step(cfg, model)
+    eval_step = make_eval_step(cfg, model, keep_attn=args.save_interm)
 
     if args.eval_caption:
         with open(os.path.join(paths.data,
@@ -129,9 +133,16 @@ def evaluate(args):
         corpus = prepare_corpus(
             [d for d in json.load(open(split_path))
              if d["scene_id"] in {e["scene_id"] for e in eval_list}])
+        intermediates = {} if args.save_interm else None
         bleu, cider, rouge, meteor = eval_cap(
             eval_step, state, val_ds, val_loader, organized,
-            min_iou=args.min_iou, corpus=corpus, use_nms=not args.no_nms)
+            min_iou=args.min_iou, corpus=corpus, use_nms=not args.no_nms,
+            intermediates=intermediates)
+        if args.save_interm:
+            interm_path = os.path.join(folder, "interm.json")
+            with open(interm_path, "w") as f:
+                json.dump(intermediates, f)
+            print(f"saved intermediate results to {interm_path}")
         print(f"[BLEU-1] {bleu[0][0]:.4f}")
         print(f"[BLEU-2] {bleu[0][1]:.4f}")
         print(f"[BLEU-3] {bleu[0][2]:.4f}")

@@ -32,7 +32,7 @@ def test_full_benchmark_flow(cli_data):
         [sys.executable, os.path.join(REPO, "scripts", "train.py"),
          "--epoch", "1", "--batch_size", "2", "--num_points", "512",
          "--num_proposals", "16", "--verbose", "1", "--val_step", "100",
-         "--tag", "benchflow"],
+         "--use_topdown", "--num_locals", "4", "--tag", "benchflow"],
         env=env, capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stderr[-3000:]
     run = next((cli_data / "outputs").iterdir()).name
@@ -78,10 +78,23 @@ def test_full_benchmark_flow(cli_data):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "eval.py"),
          "--folder", run, "--batch_size", "2", "--min_iou", "0.0",
-         "--eval_caption", "--eval_detection"],
+         "--eval_caption", "--eval_detection", "--save_interm"],
         env=env, capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "CIDEr" in res.stdout and "mAP" in res.stdout, res.stdout[-2000:]
+    # --save_interm wrote the reference-style per-object dump with the
+    # local-slot attention context (lib/eval_helper.py:242-275)
+    interm = json.loads(
+        (cli_data / "outputs" / run / "interm.json").read_text())
+    assert interm, "no intermediates recorded"
+    obj = next(iter(next(iter(interm.values())).values()))
+    assert {"object_name", "box_corner", "description", "token"} <= set(obj)
+    # topdown decoder with num_locals: attention context must be present
+    assert "object_attn_weight" in obj, obj.keys()
+    L = len(obj["object_attn_slots"])
+    assert len(obj["object_attn_weight"][0]) == L
+    assert len(obj["object_attn_context"]) == L
+    assert abs(sum(obj["object_attn_weight"][0]) - 1.0) < 1e-3
 
     # 5. visualization CLI: scene cloud + pred/GT box PLYs + captions json
     #    (reference scripts/visualize.py)
