@@ -407,17 +407,16 @@ class TopDownSceneCaptionModule(nn.Module):
             nxt = emb_table[tokens]
             return (h1n, h2n, nxt), (tokens, attn)
 
-        L = base_loc.shape[2]
+        K = shared_mapped.shape[1]
         if self.is_initializing():
             step((h1, h2, first_input), jnp.asarray(0))
             return (jnp.zeros((B, kc, num_steps), jnp.int32),
-                    jnp.zeros((B, kc, num_steps, L), tgt.dtype))
+                    jnp.zeros((B, kc, num_steps, K), tgt.dtype))
 
         (_, _, _), (outs, attns) = jax.lax.scan(
             step, (h1, h2, first_input), jnp.arange(num_steps))
-        # (T,B,kc[,L]) -> (B,kc,T[,L]); attn is the per-step softmax over the
-        # L local slots — exactly the nonzero entries of the reference's
-        # full-K "topdown_attn" masks (all other slots underflow to 0)
+        # (T,B,kc[,K]) -> (B,kc,T[,K]); attn here spans ALL K proposals —
+        # the reference's full topdown_attn form (num_locals == -1)
         return (jnp.transpose(outs, (1, 2, 0)),
                 jnp.transpose(attns, (1, 2, 0, 3)))
 
@@ -568,6 +567,9 @@ class TopDownSceneCaptionModule(nn.Module):
                 _shard_targets(rel_all[:, sl]) if self.use_relation else None,
                 jnp.broadcast_to(sos[:, None], (B, kc, sos.shape[-1])),
                 emb_table, T_dec))
-        d["lang_cap"] = jnp.concatenate(chunks, axis=1)  # (B, K, T_dec) tokens
+        d["lang_cap"] = jnp.concatenate(
+            [c[0] for c in chunks], axis=1)              # (B, K, T_dec) tokens
+        d["topdown_attn"] = jnp.concatenate(
+            [c[1] for c in chunks], axis=1)              # (B, K, T, K)
         d["valid_masks"] = all_valid
         return d

@@ -50,7 +50,11 @@ def get_3d_box_batch(box_size: jax.Array, heading_angle: jax.Array,
     sz = jnp.asarray([1, 1, 1, 1, -1, -1, -1, -1], dtype=box_size.dtype)
     corners = jnp.stack([l / 2 * sx, w / 2 * sy, h / 2 * sz], axis=-1)  # (...,8,3)
     R = roty_batch(heading_angle)
-    corners = jnp.einsum("...ij,...kj->...ki", R, corners)
+    # precision=HIGHEST: these are COORDINATES — on TPU a default-precision
+    # dot rides the MXU's bf16 passes (~0.4% corner error would leak into
+    # every IoU gate); the contraction is 3-wide, so true-f32 costs nothing
+    corners = jnp.einsum("...ij,...kj->...ki", R, corners,
+                         precision=jax.lax.Precision.HIGHEST)
     return corners + center[..., None, :]
 
 

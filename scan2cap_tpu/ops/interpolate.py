@@ -33,11 +33,16 @@ def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array
     """
     u = unknown.astype(jnp.float32)
     k = known.astype(jnp.float32)
-    d2 = (
-        jnp.sum(u * u, axis=-1, keepdims=True)
-        - 2.0 * jnp.einsum("bnc,bmc->bnm", u, k)
-        + jnp.sum(k * k, axis=-1)[:, None, :]
-    )  # (B, n, m)
+    # coordinate-difference form, NOT the |u|^2 - 2uk + |k|^2 matmul
+    # expansion: on TPU the einsum would ride the MXU's bf16 passes
+    # (~1e-2 ABSOLUTE error on room-scale coordinates — measured picking
+    # entirely wrong neighbors, scripts/tpu_parity_check.py), and the
+    # diff form is the CUDA kernel's exact f32 arithmetic.  FP shapes are
+    # tiny (n<=1024, m<=512), so the 3 elementwise (n, m) passes are free.
+    dx = u[:, :, None, 0] - k[:, None, :, 0]
+    dy = u[:, :, None, 1] - k[:, None, :, 1]
+    dz = u[:, :, None, 2] - k[:, None, :, 2]
+    d2 = dx * dx + dy * dy + dz * dz                   # (B, n, m)
     neg_d2, idx = jax.lax.top_k(-d2, 3)
     dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
     return jax.lax.stop_gradient(dist), jax.lax.stop_gradient(idx.astype(jnp.int32))
