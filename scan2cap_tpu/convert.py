@@ -229,11 +229,9 @@ def _merge(dst, src):
 # Reverse direction: Flax -> reference .pth (migration path back)
 # ---------------------------------------------------------------------------
 
+
 def _get(tree: dict, path: Tuple[str, ...]):
-    node = tree
-    for p in path:
-        node = node[p]
-    return np.asarray(node)
+    return np.asarray(_get_node(tree, path))
 
 
 def _dense_to_conv(k: np.ndarray, conv1d: bool) -> np.ndarray:

@@ -151,10 +151,17 @@ def feed_scene_cap(
         ds_idx = np.asarray(batch["dataset_idx"])
         if intermediates is not None:
             corners = np.asarray(out["bbox_corner"])
-            attn = (np.asarray(out["topdown_attn"])
-                    if "topdown_attn" in out else None)
+            # local-slot decode: (B, K, T, L) is small — transfer in bulk.
+            # full-K decode (num_locals == -1): (B, K, T, K) is hundreds of
+            # MB — slice per KEPT proposal below instead (attn_dev stays on
+            # device; each kept slice is ~30 KB)
             slots = (np.asarray(out["topdown_attn_slots"])
                      if "topdown_attn_slots" in out else None)
+            attn_dev = out.get("topdown_attn")
+            attn = (np.asarray(attn_dev)
+                    if attn_dev is not None and slots is not None else None)
+            valid_all = (np.asarray(out["valid_masks"])
+                         if attn_dev is not None and slots is None else None)
         for b in range(keep.shape[0]):
             scene_id = dataset.scanrefer[int(ds_idx[b])]["scene_id"]
             for k in np.where(keep[b])[0]:
@@ -178,6 +185,16 @@ def feed_scene_cap(
                     if attn is not None and slots is not None:
                         sl = slots[b, k]
                         entry["object_attn_weight"] = attn[b, k].tolist()
+                        entry["object_attn_slots"] = sl.tolist()
+                        entry["object_attn_context"] = \
+                            corners[b, sl].tolist()
+                    elif attn_dev is not None:
+                        # full-K attention: keep only the VALID context
+                        # proposals (the reference's valid_context_masks
+                        # gate, eval_helper.py:254-260)
+                        sl = np.where(valid_all[b, k] == 1)[0]
+                        w = np.asarray(attn_dev[b, k])      # (T, K) slice
+                        entry["object_attn_weight"] = w[:, sl].tolist()
                         entry["object_attn_slots"] = sl.tolist()
                         entry["object_attn_context"] = \
                             corners[b, sl].tolist()

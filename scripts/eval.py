@@ -123,6 +123,10 @@ def evaluate(args):
                          "batch_stats": state.batch_stats}))
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
+    if args.save_interm and not args.eval_caption:
+        print("WARNING: --save_interm only produces output with "
+              "--eval_caption; ignoring it")
+        args.save_interm = False
     eval_step = make_eval_step(cfg, model, keep_attn=args.save_interm)
 
     if args.eval_caption:

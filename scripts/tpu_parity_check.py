@@ -9,7 +9,10 @@ jax/libtpu:
 
     python scripts/tpu_parity_check.py          # ~2-4 min incl. compiles
 
-Checks (all exact, vs numpy goldens computed on host):
+Checks (all exact, vs numpy goldens computed on host; the FPS/bq goldens
+replay the semantics in f64 — the CPU suite's f32 goldens in
+tests/test_ops_*.py are the canonical copies, and both agree at these
+seeds/shapes):
   1. Pallas FPS == CUDA-semantics golden (seed 0, ||p||^2<=1e-3 skip,
      lowest-index ties) at sa1 and vote-aggregation shapes + odd sizes.
   2. Exact ball query == first-k-in-scan-order golden at sa1/sa2 shapes
@@ -111,8 +114,9 @@ def check_three_nn():
     d2 = ((unknown[:, :, None].astype(np.float64)
            - known[:, None].astype(np.float64)) ** 2).sum(-1)
     for b in range(2):
-        assert idx[b, 0, 0] == 3 and 10 not in (idx[b, 0, 0],), \
-            ("duplicate tie must take the lower index", idx[b, 0])
+        # both zero-distance duplicates must be returned, lower index first
+        assert idx[b, 0, 0] == 3 and idx[b, 0, 1] == 10, \
+            ("duplicate pair must fill slots 0,1 in scan order", idx[b, 0])
         for n in range(300):
             best3 = np.sort(d2[b, n])[:3]
             got3 = np.sort(d2[b, n][idx[b, n]])
