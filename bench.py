@@ -105,6 +105,88 @@ def measure_train(cfg, model, vocab, emb_table):
     return B / dt, dt * 1e3
 
 
+def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=4):
+    """Live per-op floor accounting for the three dominant eval-path ops at
+    the B=16 sa1 shapes (VERDICT r2 item 9: the perf-is-closed claim must be
+    auditable from the bench artifact alone).
+
+    Each op is timed with in-jit repetition (lax.scan with a data dependency
+    between iterations — single dispatches are swamped by ~27 ms of tunnel
+    overhead, CLAUDE.md).  Floor values and their bases are the measured
+    bounds from docs/TPU_DESIGN.md §1/§6b (stated at the default sa1
+    shapes; the shape parameters exist so tests can exercise this path on
+    CPU at toy sizes).
+    """
+    from scan2cap_tpu.ops.sampling import furthest_point_sample
+    from scan2cap_tpu.ops.grouping import ball_query, group_points
+
+    key = jax.random.PRNGKey(3)
+    xyz = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.uniform(k, (B, N, 3), minval=-4.0,
+                                             maxval=4.0))(key))
+    new_xyz = xyz[:, :M]
+    table = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (B, N, S)))(key))
+    gidx = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.randint(k, (B, M, S), 0, N))(key))
+
+    def timed(fn, *args):
+        fn_j = jax.jit(fn)
+        float(fn_j(*args, jnp.float32(0)))  # compile + warmup
+        ts = []
+        for s in range(3):
+            t0 = time.perf_counter()
+            float(fn_j(*args, jnp.float32((s + 1) * 1e-9)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / REP * 1e3
+
+    def fps_rep(x, salt):
+        def body(acc, i):
+            idx = furthest_point_sample(x + (acc + salt + i) * 1e-12, M)
+            return jnp.float32(jnp.sum(idx % 128)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    def bq_rep(x, q, salt):
+        def body(acc, i):
+            idx = ball_query(x + (acc + salt + i) * 1e-12, q, R, S)
+            return jnp.float32(jnp.sum(idx % 128)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    def gather_rep(t, idx, salt):
+        def body(acc, i):
+            g = group_points(t + (acc + salt + i) * 1e-12, idx)
+            return jnp.sum(g[:, ::64, 0, 0]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    slices = B * M * S
+    return {
+        "shapes": f"B={B} N={N} M={M} S={S} (sa1 eval config)",
+        "fps": {
+            "measured_ms": round(timed(fps_rep, xyz), 2),
+            "floor_ms": 7.0,
+            "floor_basis": "VMEM-streaming bound estimate (TPU_DESIGN §1)",
+        },
+        "ball_query": {
+            "measured_ms": round(timed(bq_rep, xyz, new_xyz), 2),
+            "floor_ms": 8.4,
+            "floor_basis": "distance+pack pass alone "
+                           "(scripts/micro_ballquery.py dist_count)",
+        },
+        "sa1_gather": {
+            "measured_ms": round(timed(gather_rep, table, gidx), 2),
+            "floor_ms": round(slices * 13e-9 * 1e3, 1),
+            "floor_basis": f"{slices/1e6:.1f}M slices x ~13 ns/slice measured "
+                           "HBM gather floor (TPU_DESIGN §6b)",
+        },
+    }
+
+
 def main():
     from scan2cap_tpu.config import ModelConfig
     from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
@@ -193,6 +275,10 @@ def main():
 
     train_sps, train_ms = measure_train(cfg, model, vocab, emb_table)
 
+    floors = None
+    if os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0":
+        floors = measure_floors()
+
     print(json.dumps({
         "metric": "eval_scenes_per_sec_chip",
         "value": round(scenes_per_sec, 3),
@@ -205,33 +291,104 @@ def main():
         "train_scenes_per_sec_chip": round(train_sps, 3),
         "train_ms_per_step": round(train_ms, 1),
         "train_batch": TRAIN_BATCH,
+        "floors": floors,
     }))
 
 
-def _watchdog_main():
-    """Run the measurement in a child process with a wall deadline.
+def _emit_failure(msg):
+    print(json.dumps({
+        "metric": "eval_scenes_per_sec_chip",
+        "value": None,
+        "unit": "scenes/s",
+        "error": msg[:2000],
+    }))
 
-    A wedged host<->device tunnel (CLAUDE.md environment quirks) makes jax
-    calls block indefinitely inside C++ where no Python timeout can fire;
-    the driver that invokes this script still deserves ONE parseable JSON
-    line.  The child runs the real main(); on deadline the parent reports a
-    labeled failure instead of hanging forever."""
+
+def _extract_json_line(text):
+    """Last stdout line that parses as the bench JSON object, or None."""
+    for line in reversed((text or "").strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return line
+    return None
+
+
+def _watchdog_main():
+    """Run the measurement in a child process with a wall deadline,
+    probing the backend first and retrying transient failures.
+
+    Failure modes this guards (both have happened to real driver runs):
+      - a wedged host<->device tunnel makes jax calls block indefinitely
+        inside C++ where no Python timeout can fire (round-1 near-miss);
+      - the backend fails to INITIALIZE and the child crashes with a raw
+        traceback and no JSON line (BENCH_r02 was exactly this: rc=1,
+        parsed=null).
+
+    Either way the driver deserves ONE parseable JSON line, and CLAUDE.md
+    documents the tunnel as self-recovering — so before each attempt a tiny
+    probe program must complete, and failed attempts retry with backoff
+    while the deadline budget lasts."""
     import subprocess
     deadline = float(os.environ.get("SCAN2CAP_BENCH_DEADLINE_S", "2400"))
+    t_end = time.time() + deadline
     env = dict(os.environ, SCAN2CAP_BENCH_NO_WATCHDOG="1")
-    try:
-        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, timeout=deadline)
-        sys.exit(res.returncode)
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "eval_scenes_per_sec_chip",
-            "value": None,
-            "unit": "scenes/s",
-            "error": f"device unreachable: no result within {deadline:.0f}s "
-                     "(host<->TPU tunnel wedged? see CLAUDE.md quirks)",
-        }))
-        sys.exit(1)
+    probe_code = ("import jax, jax.numpy as jnp; "
+                  "print('probe-ok', float(jnp.arange(64.0).sum()))")
+    attempt = 0
+    last_err = "no attempt completed"
+    while True:
+        attempt += 1
+        remaining = t_end - time.time()
+        if remaining < 180:
+            _emit_failure(
+                f"gave up after {attempt - 1} attempt(s) within "
+                f"{deadline:.0f}s; last error: {last_err}")
+            sys.exit(1)
+
+        # 1. probe: a tiny program must complete before the real run gets
+        # the (expensive) rest of the budget.
+        try:
+            pr = subprocess.run(
+                [sys.executable, "-c", probe_code], env=env,
+                timeout=min(420.0, remaining - 120.0),
+                capture_output=True, text=True)
+            probe_ok = pr.returncode == 0 and "probe-ok" in (pr.stdout or "")
+            probe_err = (pr.stderr or "")[-800:]
+        except subprocess.TimeoutExpired:
+            probe_ok, probe_err = False, "probe timed out (tunnel wedged?)"
+        if not probe_ok:
+            last_err = f"probe attempt {attempt} failed: {probe_err}"
+            print(f"[bench watchdog] {last_err}", file=sys.stderr)
+            time.sleep(min(60.0 * attempt, max(0.0, t_end - time.time() - 180)))
+            continue
+
+        # 2. real measurement with whatever budget is left.
+        remaining = t_end - time.time()
+        try:
+            res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, timeout=remaining - 60.0,
+                                 capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            _emit_failure(
+                f"probe was green but the measurement produced no result "
+                f"within its {remaining - 60.0:.0f}s budget "
+                "(tunnel wedged mid-run? see CLAUDE.md quirks)")
+            sys.exit(1)
+        sys.stderr.write(res.stderr or "")
+        json_line = _extract_json_line(res.stdout)
+        if res.returncode == 0 and json_line:
+            print(json_line)
+            sys.exit(0)
+        last_err = (f"bench attempt {attempt} rc={res.returncode}, "
+                    f"stderr tail: {(res.stderr or '')[-800:]}")
+        print(f"[bench watchdog] {last_err}", file=sys.stderr)
+        time.sleep(min(60.0 * attempt, max(0.0, t_end - time.time() - 180)))
 
 
 if __name__ == "__main__":
