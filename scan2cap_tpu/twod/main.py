@@ -18,6 +18,10 @@ def parse_args():
     p.add_argument("--images_root", type=str, default=None,
                    help="--prep input: <root>/<sample_id>.jpg viewpoint "
                         "renders (sample_id = scene-object_ann)")
+    p.add_argument("--resnet_pth", type=str, default=None,
+                   help="--prep: torchvision resnet101 .pth for the feature "
+                        "extractor (offline-faithful route; see "
+                        "twod/resnet.py)")
     p.add_argument("--boxes", type=str, default=None,
                    help="--prep input: json {sample_id: [{box, is_target}]}")
     p.add_argument("--train", action="store_true")
@@ -101,7 +105,12 @@ def main():
             return boxes_db.get(sample_id_of(entry), [])
 
         os.makedirs(os.path.dirname(cfg.db_path) or ".", exist_ok=True)
-        out = build_database(cfg.db_path, samples, load_image, load_boxes)
+        extractor = None
+        if args.resnet_pth:
+            from scan2cap_tpu.twod.preprocessing import make_resnet_extractor
+            extractor = make_resnet_extractor(pth=args.resnet_pth)
+        out = build_database(cfg.db_path, samples, load_image, load_boxes,
+                             extractor=extractor)
         print(f"wrote {out} ({len(samples)} samples)")
         return
 

@@ -18,13 +18,24 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
-def make_resnet_extractor(model_name: str = "microsoft/resnet-101"):
+def make_resnet_extractor(model_name: str = "microsoft/resnet-101",
+                          pth: Optional[str] = None):
     """Returns fn(images (B,H,W,3) float [0,1]) -> (B, 2048) features.
 
-    The returned callable carries a ``.backend`` attribute
-    ("resnet:<model>" or "random-projection-fallback") that
+    The returned callable carries a ``.backend`` attribute ("resnet:pth",
+    "resnet:<model>" or "random-projection-fallback") that
     ``build_database`` records in the HDF5 so downstream numbers are
-    attributable."""
+    attributable.
+
+    ``pth`` (also honored via $SCAN2CAP_RESNET_PTH) loads a torchvision
+    ``resnet101`` checkpoint file directly — the offline route to faithful
+    features on a host without torchvision or network (the reference's
+    extractor is torchvision resnet101, Scan2Cap-2D/preprocessing/
+    model.py:6-57)."""
+    pth = pth or os.environ.get("SCAN2CAP_RESNET_PTH")
+    if pth:
+        from scan2cap_tpu.twod.resnet import make_pth_extractor
+        return make_pth_extractor(pth)
     try:
         import torch
         from transformers import AutoModel
