@@ -49,8 +49,22 @@ except Exception:
     _wn = None
     _HAS_WORDNET = False
 
+# Without the WordNet corpus (this host: nltk installed, corpus absent, no
+# network to vendor it) the synonym stage falls back to the curated domain
+# synset table (synonyms.py) instead of silently disappearing.  Disable via
+# SCAN2CAP_METEOR_NO_DOMSYN=1 for a pure exact+stem A/B.
+_USE_DOMSYN = (not _HAS_WORDNET
+               and not os.environ.get("SCAN2CAP_METEOR_NO_DOMSYN"))
+
 METEOR_BACKEND = ("builtin-exact-stem-wordnet" if _HAS_WORDNET
+                  else "builtin-exact-stem-domsyn" if _USE_DOMSYN
                   else "builtin-exact-stem")
+
+# default synonym stage for this process; single_meteor_score accepts an
+# explicit override so A/B studies (scripts/micro_meteor_delta.py) can
+# compare stages without re-importing under different env vars
+_DEFAULT_SYN_STAGE = ("wordnet" if _HAS_WORDNET
+                      else "domsyn" if _USE_DOMSYN else None)
 
 ALPHA = 0.9
 BETA = 3.0
@@ -67,10 +81,14 @@ if _HAS_WORDNET:
         return frozenset(s.name() for s in _wn.synsets(w))
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Greedy staged (exact, stem[, wordnet-synonym]) alignment: each hyp
-    token matches the earliest unmatched ref token.  Per-token keys
-    (stems, synset sets) are computed ONCE per sentence, not per pair."""
+def _align(hyp: List[str], ref: List[str],
+           syn_stage: Optional[str] = "auto") -> List[Tuple[int, int]]:
+    """Greedy staged (exact, stem[, synonym]) alignment: each hyp token
+    matches the earliest unmatched ref token.  Per-token keys (stems,
+    synset sets) are computed ONCE per sentence, not per pair.
+    ``syn_stage``: "auto" (process default), "wordnet", "domsyn", None."""
+    if syn_stage == "auto":
+        syn_stage = _DEFAULT_SYN_STAGE
     matches: List[Tuple[int, int]] = []
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
@@ -88,10 +106,19 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
     eq = lambda a, b: a == b
     stage(hyp, ref, eq)
     stage([_stem(w) for w in hyp], [_stem(w) for w in ref], eq)
-    if _HAS_WORDNET:
+    overlap = lambda a, b: bool(a) and not a.isdisjoint(b)
+    if syn_stage == "wordnet" and not _HAS_WORDNET:
+        raise RuntimeError("wordnet synonym stage requested but the nltk "
+                           "wordnet corpus is not installed")
+    if syn_stage == "wordnet":
         # meteor-1.5 synonymy: the words share a synset
         stage([_synset_ids(w) for w in hyp], [_synset_ids(w) for w in ref],
-              lambda a, b: bool(a) and not a.isdisjoint(b))
+              overlap)
+    elif syn_stage == "domsyn":
+        # same predicate over the curated domain synset table
+        from scan2cap_tpu.eval.capeval.synonyms import synonym_ids
+        stage([synonym_ids(w) for w in hyp], [synonym_ids(w) for w in ref],
+              overlap)
     matches.sort()
     return matches
 
@@ -106,12 +133,13 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
-def single_meteor_score(ref: str, hyp: str) -> float:
+def single_meteor_score(ref: str, hyp: str,
+                        syn_stage: Optional[str] = "auto") -> float:
     hyp_t = hyp.split()
     ref_t = ref.split()
     if not hyp_t or not ref_t:
         return 0.0
-    matches = _align(hyp_t, ref_t)
+    matches = _align(hyp_t, ref_t, syn_stage)
     m = len(matches)
     if m == 0:
         return 0.0

@@ -71,11 +71,14 @@ def test_captioning_pinned(results):
 
 
 def test_captioning_meteor_pinned_builtin(results):
-    """METEOR columns depend on the sentence/corpus backend — pin them only
-    for the builtin exact+stem scorer (the deterministic offline default)."""
+    """METEOR columns depend on the sentence/corpus backend — pin them for
+    the deterministic builtin scorers (exact+stem, and exact+stem+domsyn:
+    this fixture's captions contain no cross-synonym pairs, so the curated
+    table provably leaves every value unchanged — verified by rerun)."""
     from scan2cap_tpu.eval.capeval.meteor import METEOR_BACKEND
 
-    if METEOR_BACKEND != "builtin-exact-stem":
+    if METEOR_BACKEND not in ("builtin-exact-stem",
+                              "builtin-exact-stem-domsyn"):
         pytest.skip(f"meteor backend is {METEOR_BACKEND}")
     cap = results["captioning"]
     assert cap[0]["f1-score"]["meteor"] == pytest.approx(
@@ -89,7 +92,8 @@ def test_densecap_pinned(results):
 
     dc = results["densecap"]
     assert dc["meteor_backend"] == SENTENCE_METEOR_BACKEND
-    if SENTENCE_METEOR_BACKEND != "builtin-exact-stem":
+    if SENTENCE_METEOR_BACKEND not in ("builtin-exact-stem",
+                                       "builtin-exact-stem-domsyn"):
         pytest.skip("densecap grid values depend on the METEOR backend")
     assert dc["mAP"] == pytest.approx(0.6, abs=1e-6)
     for iou in (0.1, 0.2, 0.3, 0.4, 0.5):

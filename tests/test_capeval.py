@@ -127,40 +127,99 @@ def test_meteor_stemming_matches():
     assert s_exact == s_stem > s_partial > s_none == 0.0
 
 
+METEOR_PIN_CORPUS = {
+    "k1": ["sos this is a brown chair near the door eos",
+           "sos a chair beside the doorway eos"],
+    "k2": ["sos the table is white and round eos"],
+    "k3": ["sos a large sofa sits against the wall eos"],
+}
+METEOR_PIN_CANDS = {
+    "k1": ["sos this is a brown seat near the door eos"],
+    "k2": ["sos the desk is white and circular eos"],
+    "k3": ["sos sos eos"],
+}
+# exact+stem only (no synonym stage of any kind)
+METEOR_PIN_EXACT_STEM = np.array([0.8950617284, 0.703125, 0.119047619])
+# + curated domain synset table: seat<->chair and circular<->round match,
+# desk<->table deliberately does NOT (not WordNet-synonymous)
+METEOR_PIN_DOMSYN = np.array([0.9995, 0.8647959183673469, 0.119047619])
+
+
 def test_meteor_backend_and_pinned_corpus():
-    """Pinned-corpus METEOR fixture: anchors the builtin exact+stem scorer
-    and documents the backend contract.  When the nltk wordnet corpus is
-    installed the synonym stage activates (backend string changes and
-    scores can only go UP — extra matches only add to the F-mean), so the
-    pins are exact without wordnet and lower bounds with it."""
+    """Pinned-corpus METEOR fixture: anchors the builtin scorer and
+    documents the three-way backend contract.  Without the nltk wordnet
+    corpus the curated domain synset table scores (exact pins); with it
+    the wordnet stage takes over (scores can only go UP vs exact+stem —
+    extra matches only add to the F-mean)."""
     from scan2cap_tpu.eval.capeval.meteor import (
         _HAS_WORDNET, METEOR_BACKEND, Meteor, single_meteor_score)
 
-    corpus = {
-        "k1": ["sos this is a brown chair near the door eos",
-               "sos a chair beside the doorway eos"],
-        "k2": ["sos the table is white and round eos"],
-        "k3": ["sos a large sofa sits against the wall eos"],
-    }
-    cands = {
-        "k1": ["sos this is a brown seat near the door eos"],
-        "k2": ["sos the desk is white and circular eos"],
-        "k3": ["sos sos eos"],
-    }
     scorer = Meteor()
-    mean, per = scorer.compute_score(corpus, cands)
-    pinned = np.array([0.8950617284, 0.703125, 0.119047619])
+    mean, per = scorer.compute_score(METEOR_PIN_CORPUS, METEOR_PIN_CANDS)
     if not _HAS_WORDNET:
-        assert METEOR_BACKEND == "builtin-exact-stem" == scorer.backend
-        np.testing.assert_allclose(per, pinned, atol=1e-9)
-        np.testing.assert_allclose(mean, 0.5724114491475603, atol=1e-12)
+        assert METEOR_BACKEND == "builtin-exact-stem-domsyn" == scorer.backend
+        np.testing.assert_allclose(per, METEOR_PIN_DOMSYN, atol=1e-9)
+        np.testing.assert_allclose(mean, 0.6611145124716554, atol=1e-12)
     else:
         assert METEOR_BACKEND == "builtin-exact-stem-wordnet"
-        assert (per >= pinned - 1e-9).all()   # synonymy only adds matches
+        assert (per >= METEOR_PIN_EXACT_STEM - 1e-9).all()
 
     assert single_meteor_score("a b c d", "a b c d") == pytest.approx(
         0.9921875)                            # 1-chunk penalty gamma*(1/m)^3
     assert single_meteor_score("a b", "c d") == 0.0
+
+
+def test_meteor_no_domsyn_knob_restores_exact_stem():
+    """SCAN2CAP_METEOR_NO_DOMSYN=1 (read at import) disables the table and
+    reproduces the round-2 exact+stem pins — the A/B used to quantify the
+    synonym-stage delta (scripts/micro_meteor_delta.py)."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import json, numpy as np\n"
+        "from scan2cap_tpu.eval.capeval.meteor import METEOR_BACKEND, Meteor\n"
+        f"gts = {METEOR_PIN_CORPUS!r}\n"
+        f"res = {METEOR_PIN_CANDS!r}\n"
+        "mean, per = Meteor().compute_score(gts, res)\n"
+        "print(json.dumps({'backend': METEOR_BACKEND, 'per': list(per)}))\n"
+    )
+    env = dict(os.environ, SCAN2CAP_METEOR_NO_DOMSYN="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    if got["backend"] == "builtin-exact-stem":
+        np.testing.assert_allclose(got["per"], METEOR_PIN_EXACT_STEM,
+                                   atol=1e-9)
+    else:       # wordnet corpus present on this host: knob is a no-op
+        assert got["backend"] == "builtin-exact-stem-wordnet"
+
+
+def test_domsyn_table_conservative():
+    from scan2cap_tpu.eval.capeval.synonyms import synonym_ids
+
+    def syn(a, b):
+        ia, ib = synonym_ids(a), synonym_ids(b)
+        return bool(ia) and not ia.isdisjoint(ib)
+
+    assert syn("couch", "sofa")
+    assert syn("SEAT", "chair")            # case-insensitive
+    assert syn("fridge", "refrigerator")
+    assert syn("trash", "garbage")
+    assert not syn("desk", "table")        # WordNet keeps these separate
+    assert not syn("cup", "mug")
+    assert not syn("navy", "blue")
+    assert not syn("chair", "xyzzy")
+    assert not syn("xyzzy", "xyzzy")       # unknown words never match here
+    # polysemy: stool is seating AND toilet, via different groups
+    assert syn("stool", "seat")
+    assert syn("stool", "toilet")
+    assert not syn("bench", "toilet")
+    # relating to a common word is NOT transitive synonymy: stool and
+    # bench each share a group with "seat" but not with each other
+    assert not syn("stool", "bench")
 
 
 def test_meteor_backend_recorded_in_densecap_results():
