@@ -50,6 +50,21 @@ def set_ball_query_mode(mode: str) -> None:
     DEFAULT_BALL_QUERY_MODE = mode
 
 
+def _pack_impl() -> str:
+    """Hit-bitmask pack backend on TPU: "pallas" (fused dist+pack kernel,
+    ops/pallas/ballquery.py) or "xla".  TRACE-TIME semantics like
+    SCAN2CAP_BQ_DECODE below."""
+    import os
+    return os.environ.get("SCAN2CAP_BQ_PACK", "xla")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _decode_impl() -> str:
     """Supergroup slot-decode backend: "vpu" (masked-sum passes, the
     measured winner) or "mxu" (batched one-hot dot, kept as the §9
@@ -114,6 +129,16 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
                      jnp.uint32(1) << bitpos, jnp.uint32(0))
     words = jnp.sum(bits, axis=-1, dtype=jnp.uint32)           # (M, W)
     pc = jax.lax.population_count(words).astype(jnp.int32)
+    return _decode_first_k(words, pc, nsample)
+
+
+def _decode_first_k(words: jax.Array, pc: jax.Array,
+                    nsample: int) -> jax.Array:
+    """Popcount-prefix slot decode: words (M, W) uint32 hit bitmasks in scan
+    order + pc (M, W) per-word popcounts -> (M, nsample) int32 first-k hit
+    indices with the CUDA padding semantics.  Shared by the XLA pack above
+    and the Pallas fused dist+pack (ops/pallas/ballquery.py)."""
+    M, W = words.shape
     cum = jnp.cumsum(pc, axis=-1)                              # inclusive
     total = cum[:, -1:]                                        # (M, 1)
     s_ids = jnp.arange(nsample, dtype=jnp.int32)               # (S,)
@@ -210,18 +235,22 @@ def _ball_query_chunk(new_xyz: jax.Array, xyz: jax.Array, radius2: float,
 
 def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
                nsample: int, chunk: int = 512,
-               mode: Optional[str] = None) -> jax.Array:
-    """Dispatch wrapper so the module-level mode toggle is honored at trace
-    time (set_ball_query_mode)."""
+               mode: Optional[str] = None,
+               pack: Optional[str] = None) -> jax.Array:
+    """Dispatch wrapper so the module-level mode toggle and the pack-backend
+    env knob are honored at trace time (set_ball_query_mode,
+    SCAN2CAP_BQ_PACK)."""
     return _ball_query(xyz, new_xyz, radius, nsample, chunk,
-                       mode or DEFAULT_BALL_QUERY_MODE)
+                       mode or DEFAULT_BALL_QUERY_MODE,
+                       pack or _pack_impl())
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("radius", "nsample", "chunk", "mode"))
+                   static_argnames=("radius", "nsample", "chunk", "mode",
+                                    "pack"))
 def _ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
                 nsample: int, chunk: int = 512,
-                mode: str = "exact") -> jax.Array:
+                mode: str = "exact", pack: str = "xla") -> jax.Array:
     """Radius neighbor search with CUDA-parity padding semantics.
 
     Args:
@@ -235,9 +264,32 @@ def _ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
       (B, M, nsample) int32 indices into N.
     """
     B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
     radius2 = float(radius) ** 2
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
+
+    if mode == "exact" and pack == "pallas" and _on_tpu() and N >= 4096:
+        # fused Pallas dist+pack (words + popcounts), shared XLA decode
+        from scan2cap_tpu.ops.pallas.ballquery import ball_query_pack_pallas
+        words, counts = ball_query_pack_pallas(xyz, new_xyz, radius2)
+        W = -(-N // 32)
+        words, counts = words[..., :W], counts[..., :W]
+
+        def decode_chunked(words_b, counts_b):
+            if M <= chunk:
+                return _decode_first_k(words_b, counts_b, nsample)
+            pad = (-M) % chunk
+            w = jnp.pad(words_b, ((0, pad), (0, 0)))
+            c = jnp.pad(counts_b, ((0, pad), (0, 0)))
+            nch = (M + pad) // chunk
+            w = w.reshape(nch, chunk, W)
+            c = c.reshape(nch, chunk, W)
+            out = jax.lax.map(
+                lambda wc: _decode_first_k(wc[0], wc[1], nsample), (w, c))
+            return out.reshape(M + pad, nsample)[:M]
+
+        return jax.lax.stop_gradient(jax.vmap(decode_chunked)(words, counts))
 
     if M <= chunk:
         fn = functools.partial(_ball_query_chunk, radius2=radius2,

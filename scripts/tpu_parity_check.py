@@ -96,6 +96,16 @@ def check_bq():
         assert np.array_equal(got, want), \
             f"ball_query mismatch at {(B, N, M, ns)}"
         print(f"  ball_query {B}x{N} M={M}: exact")
+        if N >= 4096:
+            # Pallas fused dist+pack path (MXU pack designed exact under
+            # Mosaic's bf16 truncation — this is where that design claim
+            # is checked on hardware)
+            got_p = np.asarray(ball_query(
+                jnp.asarray(xyz), jnp.asarray(new_xyz), r, ns,
+                pack="pallas"))
+            assert np.array_equal(got_p, want), \
+                f"pallas-pack ball_query mismatch at {(B, N, M, ns)}"
+            print(f"  ball_query {B}x{N} M={M}: exact (pallas pack)")
 
 
 def check_three_nn():
