@@ -71,7 +71,12 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
     r8 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % _ROWS
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
-    temp_ref[:] = jnp.full((R, cols), 1e10, jnp.float32)
+    # invalid points (||p||² <= 1e-3 skip + padding) start at -1 instead of
+    # 1e10: d2 >= 0 keeps min(-1, d2) = -1 forever, so the running min IS
+    # the argmax score directly and the per-iteration (R, cols)
+    # where(valid, t, -1) pass disappears (~1 of ~20 full-tile passes).
+    # All-invalid groups behave as before: every score -1, cand = orig 0.
+    temp_ref[:] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
     BIG = jnp.int32(2 ** 30)
 
     def body(j, carry):
@@ -87,9 +92,8 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
         lx, ly, lz = l[:, 0:1], l[:, 1:2], l[:, 2:3]
         # diff-form f32 distances — bit-identical to the CUDA arithmetic
         d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        t = jnp.minimum(temp_ref[:], d2)
-        temp_ref[:] = t
-        score = jnp.where(valid, t, -1.0)
+        score = jnp.minimum(temp_ref[:], d2)   # -1 at invalid (see init)
+        temp_ref[:] = score
         m_col = jnp.max(score, axis=1, keepdims=True)            # (R, 1)
         m = _group_scan(m_col, r8, jnp.maximum, jnp.float32(-jnp.inf))
         cand = jnp.min(jnp.where(score == m, orig, BIG),
