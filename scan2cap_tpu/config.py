@@ -132,6 +132,9 @@ class ModelConfig:
     min_iou: float = 0.25            # CONF.TRAIN.MIN_IOU_THRESHOLD (caption gate)
     # numerics
     compute_dtype: str = "float32"   # bfloat16 for speed on TPU
+    # which backbone modules the narrow dtype applies to (bisection knob
+    # for the bf16 quality study, TPU_DESIGN §8; ignored at float32)
+    bf16_components: str = "sa1,sa2,sa3,sa4,fp"
 
     @property
     def input_feature_dim(self) -> int:

@@ -199,6 +199,9 @@ class Pointnet2Backbone(nn.Module):
     input_feature_dim: int = 0
     sa_npoints: Tuple[int, int, int, int] = (2048, 1024, 512, 256)
     compute_dtype: Optional[str] = None
+    # per-module gate for the narrow dtype ("sa1,...,fp"): the bf16 quality
+    # bisection (TPU_DESIGN §8) narrows one module group at a time
+    bf16_components: str = "sa1,sa2,sa3,sa4,fp"
 
     @nn.compact
     def __call__(self, data_dict: dict, train: bool = True,
@@ -207,36 +210,40 @@ class Pointnet2Backbone(nn.Module):
         xyz = pc[..., :3]
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
 
+        comps = {c.strip() for c in self.bf16_components.split(",")}
+        dt = {k: (self.compute_dtype if k in comps else None)
+              for k in ("sa1", "sa2", "sa3", "sa4", "fp")}
+
         d = dict(data_dict)
         np1, np2, np3, np4 = self.sa_npoints
 
         # sa1's xyz/features come straight from the input cloud (autodiff
         # leaves) — safe to drop their gradients for the scatter-free backward
         xyz, features, inds = PointnetSAModuleVotes(
-            np1, 0.2, 64, (64, 64, 128), compute_dtype=self.compute_dtype,
+            np1, 0.2, 64, (64, 64, 128), compute_dtype=dt["sa1"],
             leaf_inputs=True, name="sa1")(
                 xyz, features, None, train, bn_momentum)
         d["sa1_inds"], d["sa1_xyz"], d["sa1_features"] = inds, xyz, features
 
         xyz, features, inds = PointnetSAModuleVotes(
-            np2, 0.4, 32, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa2")(
+            np2, 0.4, 32, (128, 128, 256), compute_dtype=dt["sa2"], name="sa2")(
                 xyz, features, None, train, bn_momentum)
         d["sa2_inds"], d["sa2_xyz"], d["sa2_features"] = inds, xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np3, 0.8, 16, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa3")(
+            np3, 0.8, 16, (128, 128, 256), compute_dtype=dt["sa3"], name="sa3")(
                 xyz, features, None, train, bn_momentum)
         d["sa3_xyz"], d["sa3_features"] = xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np4, 1.2, 16, (128, 128, 256), compute_dtype=self.compute_dtype, name="sa4")(
+            np4, 1.2, 16, (128, 128, 256), compute_dtype=dt["sa4"], name="sa4")(
                 xyz, features, None, train, bn_momentum)
         d["sa4_xyz"], d["sa4_features"] = xyz, features
 
-        features = PointnetFPModule((256, 256), compute_dtype=self.compute_dtype, name="fp1")(
+        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"], name="fp1")(
             d["sa3_xyz"], d["sa4_xyz"], d["sa3_features"], d["sa4_features"],
             train, bn_momentum)
-        features = PointnetFPModule((256, 256), compute_dtype=self.compute_dtype, name="fp2")(
+        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"], name="fp2")(
             d["sa2_xyz"], d["sa3_xyz"], d["sa2_features"], features,
             train, bn_momentum)
 

@@ -40,7 +40,9 @@ class CapNet(nn.Module):
         compute_dtype = (None if cfg.compute_dtype == "float32"
                          else cfg.compute_dtype)
         d = Pointnet2Backbone(cfg.input_feature_dim, cfg.sa_npoints,
-                              compute_dtype, name="backbone_net")(
+                              compute_dtype,
+                              bf16_components=cfg.bf16_components,
+                              name="backbone_net")(
             data_dict, train, bn_momentum)
 
         d["seed_inds"] = d["fp2_inds"]

@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 backbone MLP chain (geometry stays f32)")
+    p.add_argument("--bf16_components", type=str,
+                   default="sa1,sa2,sa3,sa4,fp",
+                   help="with --bf16: which backbone modules narrow "
+                        "(bisection knob, TPU_DESIGN §8)")
     return p.parse_args()
 
 
@@ -51,7 +55,8 @@ def main():
     args = parse_args()
     mcfg = ModelConfig(num_points=args.num_points,
                        no_caption=not args.caption, min_iou=-1.0,
-                       compute_dtype="bfloat16" if args.bf16 else "float32")
+                       compute_dtype="bfloat16" if args.bf16 else "float32",
+                       bf16_components=args.bf16_components)
     cfg = Config(model=mcfg)
     vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
 

@@ -38,6 +38,11 @@ try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # CLI end-to-end tests spawn `python scripts/...` subprocesses, which
+    # would otherwise recompile every program on every suite run — the env
+    # vars hand them the same cache (jax reads these at startup)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
 except Exception:
     pass
 

@@ -13,16 +13,20 @@ from scan2cap_tpu.data.projection import (
 def test_enet_trunk_shapes():
     model = ENetEncoder()
     x = jnp.zeros((1, 64, 80, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    init = jax.jit(model.init, static_argnames=("train",))
+    variables = init(jax.random.PRNGKey(0), x, train=False)
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        variables, x, train=False)
     assert out.shape == (1, 8, 10, 128)   # 1/8 resolution, 128 channels
 
 
 def test_enet_classifier():
     model = ENetClassifier(num_classes=41)
     x = jnp.zeros((1, 32, 40, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    feat, logits = model.apply(variables, x, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    feat, logits = jax.jit(model.apply, static_argnames=("train",))(
+        variables, x, train=False)
     assert feat.shape == (1, 4, 5, 128)
     assert logits.shape == (1, 4, 5, 41)
 

@@ -45,35 +45,45 @@ def _batch(rng, B=2, N=256, in_dim=2):  # height + mask
     }
 
 
-def test_mask_votenet_forward_and_loss(rng):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_mvn():
+    """One compiled MaskVoteNet + batch shared across the model tests."""
+    rng = np.random.RandomState(0)
     batch = _batch(rng)
     model = MaskVoteNet(TINY)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    return model, variables, batch
+
+
+def test_mask_votenet_forward_and_loss(tiny_mvn):
+    model, variables, batch = tiny_mvn
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
     assert out["center"].shape == (2, 1, 3)
     assert out["size_scores"].shape == (2, 1, 18)
     assert out["sem_cls_scores"].shape == (2, 1, 18)
     assert "objectness_scores" not in out  # no objectness head
 
-    out = get_mask_votenet_loss(out)
+    out = jax.jit(get_mask_votenet_loss)(out)
     for k in ("loss", "vote_loss", "box_loss", "sem_cls_loss", "miou",
               "sem_cls_acc"):
         assert np.isfinite(float(out[k])), k
     assert 0.0 <= float(out["miou"]) <= 1.0
 
 
-def test_mask_votenet_loss_decreases(rng):
+def test_mask_votenet_loss_decreases(tiny_mvn):
     import optax
-    batch = _batch(rng)
-    model = MaskVoteNet(TINY)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), batch, train=False)
+    model, variables, batch = tiny_mvn
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables["params"])
 
-    @jax.jit
-    def step(params, batch_stats, opt_state):
+    def step(carry, _):
+        params, batch_stats, opt_state = carry
+
         def loss_fn(p):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, batch,
@@ -82,13 +92,18 @@ def test_mask_votenet_loss_decreases(rng):
             return out["loss"], mut["batch_stats"]
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), stats, opt_state2, loss
+        return (optax.apply_updates(params, updates), stats, opt_state2), loss
 
-    params, stats = variables["params"], variables["batch_stats"]
-    losses = []
-    for _ in range(120):
-        params, stats, opt_state, loss = step(params, stats, opt_state)
-        losses.append(float(loss))
+    # all 120 steps in one lax.scan program: a per-step python loop pays
+    # dispatch overhead 120x and dominated this test's wall clock
+    @jax.jit
+    def run(params, stats, opt_state):
+        _, losses = jax.lax.scan(step, (params, stats, opt_state), None,
+                                 length=120)
+        return losses
+
+    losses = np.asarray(
+        run(variables["params"], variables["batch_stats"], opt_state))
     # overfit smoke test: converges after the noisy early phase
     assert np.mean(losses[-10:]) < 0.7 * np.mean(losses[:10]), \
         (np.mean(losses[:10]), np.mean(losses[-10:]))

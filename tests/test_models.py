@@ -22,20 +22,42 @@ def _make(cfg, **kw):
     vocab = make_vocab(num_vocabs=32)
     batch = make_scene_batch(cfg, batch_size=2, num_objects=3, vocab=vocab)
     model = CapNet(cfg, num_vocabs=32, **kw)
-    variables = model.init(
+    # unjitted init/apply dispatch op-by-op (CLAUDE.md) — always jit in tests
+    variables = jax.jit(
+        model.init, static_argnames=("use_tf", "is_eval", "train"))(
         jax.random.PRNGKey(0),
         {k: jnp.asarray(v) for k, v in batch.items()},
         use_tf=True, is_eval=False, train=False)
     return model, variables, batch, vocab
 
 
-def test_capnet_forward_train_shapes():
-    cfg = TINY
-    model, variables, batch, _ = _make(cfg)
+def _jit_apply(model):
+    return jax.jit(model.apply,
+                   static_argnames=("use_tf", "is_eval", "train", "mutable"))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    """One compiled TINY CapNet shared by the shape/select tests (each test
+    owning its own full-model compile dominated the suite wall clock)."""
+    model, variables, batch, vocab = _make(TINY)
     d = {k: jnp.asarray(v) for k, v in batch.items()}
-    out, mutated = model.apply(
-        d if False else variables, d, use_tf=True, is_eval=False, train=True,
-        mutable=["batch_stats"])
+    return model, variables, d, vocab
+
+
+@pytest.fixture(scope="module")
+def tiny_train_out(tiny):
+    model, variables, d, _ = tiny
+    return _jit_apply(model)(variables, d, use_tf=True, is_eval=False,
+                             train=False)
+
+
+def test_capnet_forward_train_shapes(tiny):
+    cfg = TINY
+    model, variables, d, _ = tiny
+    out, mutated = _jit_apply(model)(
+        variables, d, use_tf=True, is_eval=False, train=True,
+        mutable=("batch_stats",))
     B, K = 2, cfg.num_proposals
     assert out["objectness_scores"].shape == (B, K, 2)
     assert out["center"].shape == (B, K, 3)
@@ -50,11 +72,11 @@ def test_capnet_forward_train_shapes():
     assert "batch_stats" in mutated
 
 
-def test_capnet_forward_eval_shapes():
+def test_capnet_forward_eval_shapes(tiny):
     cfg = TINY
-    model, variables, batch, _ = _make(cfg)
-    d = {k: jnp.asarray(v) for k, v in batch.items()}
-    out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
+    model, variables, d, _ = tiny
+    out = _jit_apply(model)(variables, d, use_tf=False, is_eval=True,
+                            train=False)
     B, K = 2, cfg.num_proposals
     assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1)  # token ids
 
@@ -65,7 +87,8 @@ def test_capnet_topdown_graph_relation():
                             "use_orientation": True, "num_graph_steps": 2})
     model, variables, batch, _ = _make(cfg)
     d = {k: jnp.asarray(v) for k, v in batch.items()}
-    out = model.apply(variables, d, use_tf=True, is_eval=False, train=False)
+    apply = _jit_apply(model)
+    out = apply(variables, d, use_tf=True, is_eval=False, train=False)
     B, K, L = 2, cfg.num_proposals, cfg.num_locals
     assert out["edge_feature"].shape == (B, K, L, 128)
     assert out["edge_orientations"].shape == (B, K, L, cfg.num_bins)
@@ -76,15 +99,14 @@ def test_capnet_topdown_graph_relation():
     np.testing.assert_allclose(
         np.asarray(out["adjacent_mat"]).sum(-1), L)
     # eval path with relation
-    out = model.apply(variables, d, use_tf=False, is_eval=True, train=False)
+    out = apply(variables, d, use_tf=False, is_eval=True, train=False)
     assert out["lang_cap"].shape == (B, K, cfg.max_des_len - 1)  # token ids
 
 
-def test_select_target_matches_naive():
+def test_select_target_matches_naive(tiny, tiny_train_out):
     cfg = TINY
-    model, variables, batch, _ = _make(cfg)
-    d = {k: jnp.asarray(v) for k, v in batch.items()}
-    out = model.apply(variables, d, use_tf=True, is_eval=False, train=False)
+    model, variables, d, _ = tiny
+    out = tiny_train_out
     ids, ious = select_target(out)
     corners = np.asarray(out["bbox_corner"])
     gt = np.asarray(d["ref_box_corner_label"])
@@ -222,3 +244,37 @@ def test_sa_bf16_compute_keeps_f32_decomposition(rng):
     # bf16 has ~3 decimal digits; activations here are O(1)
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
     assert np.mean(np.abs(got - ref)) < 5e-3
+
+
+def test_bf16_components_gate(rng):
+    # the bisection knob (TPU_DESIGN §8): excluding a module from
+    # bf16_components must keep that module's output BIT-identical to the
+    # all-f32 backbone, while included modules still narrow
+    from scan2cap_tpu.models.backbone import Pointnet2Backbone
+
+    B, N = 2, 512
+    pc = jnp.asarray(np.concatenate(
+        [rng.uniform(-2, 2, (B, N, 3)), rng.randn(B, N, 1)],
+        axis=-1).astype(np.float32))
+    d = {"point_clouds": pc}
+    sa_np = (128, 64, 32, 16)
+
+    def run(dtype, comps):
+        m = Pointnet2Backbone(1, sa_np, dtype, bf16_components=comps)
+        v = jax.jit(m.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), d, train=False)
+        return jax.jit(m.apply, static_argnames=("train",))(
+            v, d, train=False)
+
+    f32 = run(None, "sa1,sa2,sa3,sa4,fp")
+    part = run("bfloat16", "sa2,sa3,sa4,fp")       # sa1 stays f32
+
+    # excluded module: bit-identical to the all-f32 run
+    np.testing.assert_array_equal(np.asarray(f32["sa1_features"]),
+                                  np.asarray(part["sa1_features"]))
+    # included modules really narrow: sa2 (and everything downstream)
+    # departs from f32 (bf16 rounding is real)
+    assert not np.array_equal(np.asarray(f32["sa2_features"]),
+                              np.asarray(part["sa2_features"]))
+    assert not np.array_equal(np.asarray(f32["fp2_features"]),
+                              np.asarray(part["fp2_features"]))
