@@ -177,13 +177,31 @@ def test_meteor_no_domsyn_knob_restores_exact_stem():
     import subprocess
     import sys
 
+    # import the meteor module FILE directly — the package __init__ pulls
+    # in jax/flax (~8 s on this host) that this subprocess doesn't need.
+    # Stub parent packages keep meteor.py's intra-package imports working.
+    pkg_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), os.pardir, "scan2cap_tpu"))
     code = (
-        "import json, numpy as np\n"
-        "from scan2cap_tpu.eval.capeval.meteor import METEOR_BACKEND, Meteor\n"
+        "import json, os, sys, types, importlib.util\n"
+        f"root = {pkg_dir!r}\n"
+        "dirs = {'scan2cap_tpu': root,"
+        " 'scan2cap_tpu.eval': os.path.join(root, 'eval'),"
+        " 'scan2cap_tpu.eval.capeval':"
+        " os.path.join(root, 'eval', 'capeval')}\n"
+        "for name, d in dirs.items():\n"
+        "    mod = types.ModuleType(name); mod.__path__ = [d]\n"
+        "    sys.modules.setdefault(name, mod)\n"
+        "spec = importlib.util.spec_from_file_location(\n"
+        "    'scan2cap_tpu.eval.capeval.meteor',\n"
+        "    os.path.join(dirs['scan2cap_tpu.eval.capeval'], 'meteor.py'))\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "sys.modules['scan2cap_tpu.eval.capeval.meteor'] = m\n"
+        "spec.loader.exec_module(m)\n"
         f"gts = {METEOR_PIN_CORPUS!r}\n"
         f"res = {METEOR_PIN_CANDS!r}\n"
-        "mean, per = Meteor().compute_score(gts, res)\n"
-        "print(json.dumps({'backend': METEOR_BACKEND, 'per': list(per)}))\n"
+        "mean, per = m.Meteor().compute_score(gts, res)\n"
+        "print(json.dumps({'backend': m.METEOR_BACKEND, 'per': list(per)}))\n"
     )
     env = dict(os.environ, SCAN2CAP_METEOR_NO_DOMSYN="1")
     out = subprocess.run([sys.executable, "-c", code], env=env,

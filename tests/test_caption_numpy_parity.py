@@ -83,8 +83,8 @@ def test_topdown_decoder_matches_reference_equations(rng):
         "bbox_corner": jnp.asarray(corners),
         "ref_box_corner_label": jnp.asarray(corners[:, 0]),
     }
-    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True, is_eval=False)
-    out = module.apply(variables, d, use_tf=True, is_eval=False)
+    variables = jax.jit(module.init, static_argnames=('use_tf', 'is_eval'))(jax.random.PRNGKey(0), d, use_tf=True, is_eval=False)
+    out = jax.jit(module.apply, static_argnames=('use_tf', 'is_eval'))(variables, d, use_tf=True, is_eval=False)
     got = np.asarray(out["lang_cap"])                  # (B, T+1, V)
 
     # reference equations, target selected the same way (argmax IoU vs gt)
@@ -112,8 +112,8 @@ def test_vanilla_decoder_matches_reference_equations(rng):
         "bbox_corner": jnp.asarray(corners),
         "ref_box_corner_label": jnp.asarray(corners[:, 1]),
     }
-    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True, is_eval=False)
-    out = module.apply(variables, d, use_tf=True, is_eval=False)
+    variables = jax.jit(module.init, static_argnames=('use_tf', 'is_eval'))(jax.random.PRNGKey(0), d, use_tf=True, is_eval=False)
+    out = jax.jit(module.apply, static_argnames=('use_tf', 'is_eval'))(variables, d, use_tf=True, is_eval=False)
     got = np.asarray(out["lang_cap"])
 
     p = jax.tree.map(np.asarray, variables["params"])
@@ -199,9 +199,9 @@ def test_topdown_eval_scene_decode_matches_reference_equations(rng):
         "edge_nbr_idx": jnp.asarray(nbr),
         "glove_emb_table": jnp.asarray(emb_table),
     }
-    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True,
+    variables = jax.jit(module.init, static_argnames=('use_tf', 'is_eval'))(jax.random.PRNGKey(0), d, use_tf=True,
                             is_eval=False)
-    out = module.apply(variables, d, use_tf=False, is_eval=True)
+    out = jax.jit(module.apply, static_argnames=('use_tf', 'is_eval'))(variables, d, use_tf=False, is_eval=True)
     got = np.asarray(out["lang_cap"])                 # (B, K, T-1) token ids
 
     want = topdown_eval_reference_numpy(
@@ -248,9 +248,9 @@ def test_topdown_eval_local_slot_decode_matches_reference_equations(rng):
         "edge_nbr_idx": jnp.asarray(nbr),
         "glove_emb_table": jnp.asarray(emb_table),
     }
-    variables = module.init(jax.random.PRNGKey(0), d, use_tf=True,
+    variables = jax.jit(module.init, static_argnames=('use_tf', 'is_eval'))(jax.random.PRNGKey(0), d, use_tf=True,
                             is_eval=False)
-    out = module.apply(variables, d, use_tf=False, is_eval=True)
+    out = jax.jit(module.apply, static_argnames=('use_tf', 'is_eval'))(variables, d, use_tf=False, is_eval=True)
     got = np.asarray(out["lang_cap"])                 # (B, K, T-1) token ids
     local_masks = np.asarray(out["valid_masks"])      # (B, K, K)
 

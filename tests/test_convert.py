@@ -45,7 +45,8 @@ def test_convert_shapes_match_model():
     assert n_checked > 50
 
     state2 = mount_detection_weights(state, PTH)
-    out = model.apply(
+    out = jax.jit(model.apply,
+                  static_argnames=("use_tf", "is_eval", "train"))(
         {"params": state2.params, "batch_stats": state2.batch_stats},
         batch, use_tf=True, is_eval=False, train=False)
     assert np.isfinite(np.asarray(out["objectness_scores"])).all()

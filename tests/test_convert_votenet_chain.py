@@ -152,8 +152,10 @@ def test_converted_votenet_chain_parity(tmp_path):
     cparams, cstats = convert_votenet_checkpoint(str(path))
     params = _merge(variables["params"], cparams)
     stats = _merge(variables["batch_stats"], cstats)
-    d = model.apply({"params": params, "batch_stats": stats}, batch,
-                    use_tf=False, is_eval=True, train=False)
+    d = jax.jit(model.apply,
+                static_argnames=("use_tf", "is_eval", "train"))(
+        {"params": params, "batch_stats": stats}, batch,
+        use_tf=False, is_eval=True, train=False)
 
     # ---- torch side: same op indices, reference-order compute ----
     xyz_j = jnp.asarray(pc[..., :3])

@@ -50,7 +50,8 @@ def test_encoder_and_object_loss(tmp_path, rng):
                             sa_npoints=(64, 32, 16, 8))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
     assert out["enc_features"].shape == (2, 128)
     assert out["enc_preds"].shape == (2, 18)
 

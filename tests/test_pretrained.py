@@ -51,7 +51,9 @@ def test_pretrained_gt_forward_and_loss(rng):
     model = CapNetPretrained(CFG, mode="gt", num_vocabs=32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, use_tf=True, is_eval=False, train=False)
+    apply = jax.jit(model.apply,
+                    static_argnames=("use_tf", "is_eval", "train"))
+    out = apply(variables, batch, use_tf=True, is_eval=False, train=False)
     assert out["lang_cap"].shape == (2, CFG.max_des_len + 1, 32)
     # oracle mode: target ious forced to 1 -> all boxes good
     assert bool(jnp.all(out["good_bbox_masks"]))
@@ -61,7 +63,7 @@ def test_pretrained_gt_forward_and_loss(rng):
     assert np.isfinite(float(out["ori_loss"]))
 
     # eval decode path
-    out_e = model.apply(variables, batch, use_tf=False, is_eval=True, train=False)
+    out_e = apply(variables, batch, use_tf=False, is_eval=True, train=False)
     assert out_e["lang_cap"].shape == (2, 16, CFG.max_des_len - 1)
 
 

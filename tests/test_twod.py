@@ -41,9 +41,9 @@ def test_show_and_tell(rng):
                           max_desc_len=30)
     variables = jax.jit(model.init, static_argnames=("is_eval",))(
         jax.random.PRNGKey(0), batch, is_eval=False)
-    out = model.apply(variables, batch, is_eval=False)
+    out = jax.jit(model.apply, static_argnames=('is_eval',))(variables, batch, is_eval=False)
     assert out["lang_cap"].shape == (B, 31, 32)
-    out_e = model.apply(variables, batch, is_eval=True)
+    out_e = jax.jit(model.apply, static_argnames=('is_eval',))(variables, batch, is_eval=True)
     assert out_e["lang_cap"].shape == (B, 29)  # token ids
 
     # trainable: loss decreases on a fixed batch
@@ -86,9 +86,9 @@ def test_show_attend_and_tell(rng):
                                 context_size=68, hidden_size=96)
     variables = jax.jit(model.init, static_argnames=("is_eval",))(
         jax.random.PRNGKey(0), batch, is_eval=False)
-    out = model.apply(variables, batch, is_eval=False)
+    out = jax.jit(model.apply, static_argnames=('is_eval',))(variables, batch, is_eval=False)
     assert out["lang_cap"].shape == (B, 31, 32)
-    out_e = model.apply(variables, batch, is_eval=True)
+    out_e = jax.jit(model.apply, static_argnames=('is_eval',))(variables, batch, is_eval=True)
     assert out_e["lang_cap"].shape == (B, 29)
 
 
@@ -154,8 +154,8 @@ def test_tdbu_step_matches_torch(rng):
         "lang_feat": jnp.asarray(rng.randn(B, 5, E).astype(np.float32)),
         "lang_len": jnp.full((B,), 5, jnp.int32),
     }
-    variables = model.init(jax.random.PRNGKey(0), d, is_eval=False)
-    out = model.apply(variables, d, is_eval=False)
+    variables = jax.jit(model.init, static_argnames=('is_eval',))(jax.random.PRNGKey(0), d, is_eval=False)
+    out = jax.jit(model.apply, static_argnames=('is_eval',))(variables, d, is_eval=False)
     got_logits = np.asarray(out["lang_cap"])[:, 0]      # first step
     got_attn = np.asarray(out["topdown_attn"])[:, :, 0]
 
