@@ -65,6 +65,91 @@ def test_measure_floors_structure(bench_mod):
         assert floors[op]["floor_basis"]
 
 
+class _FakeResult:
+    def __init__(self, rc, out="", err=""):
+        self.returncode = rc
+        self.stdout = out
+        self.stderr = err
+
+
+def _drive_watchdog(bench_mod, monkeypatch, capsys, script):
+    """Run _watchdog_main with a scripted subprocess.run; returns
+    (exit_code, stdout_lines).  ``script`` is an iterable of _FakeResult
+    (or 'timeout') consumed in call order.  Virtual time advances 20 s per
+    time() call so deadline logic runs without wall-clock waits."""
+    import subprocess as sp
+
+    calls = iter(script)
+
+    def fake_run(cmd, **kw):
+        item = next(calls)
+        if item == "timeout":
+            raise sp.TimeoutExpired(cmd, kw.get("timeout", 0))
+        return item
+
+    clock = {"t": 1000.0}
+
+    def fake_time():
+        clock["t"] += 20.0
+        return clock["t"]
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench_mod.time, "time", fake_time)
+    monkeypatch.setenv("SCAN2CAP_BENCH_DEADLINE_S", "2400")
+    try:
+        with pytest.raises(SystemExit) as ex:
+            bench_mod._watchdog_main()
+        out = capsys.readouterr().out.strip().splitlines()
+        return ex.value.code, out
+    finally:
+        monkeypatch.undo()
+
+
+GOOD_PROBE = _FakeResult(0, "probe-ok 2016.0\n")
+GOOD_BENCH = _FakeResult(
+    0, 'noise\n{"metric": "eval_scenes_per_sec_chip", "value": 158.2}\n')
+
+
+def test_watchdog_retries_failed_probe_then_succeeds(
+        bench_mod, monkeypatch, capsys):
+    """BENCH_r02's exact scenario: backend init fails (probe crash), then
+    the tunnel self-recovers — the watchdog must retry inside the deadline
+    and pass the child's JSON line through."""
+    code, out = _drive_watchdog(bench_mod, monkeypatch, capsys, [
+        _FakeResult(1, "", "UNAVAILABLE: TPU backend setup/compile error"),
+        "timeout",                       # probe attempt 2 hangs
+        GOOD_PROBE, GOOD_BENCH,          # attempt 3 recovers
+    ])
+    assert code == 0
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 158.2
+
+
+def test_watchdog_retries_bench_crash(bench_mod, monkeypatch, capsys):
+    """A probe-green but crashing measurement child must be retried, not
+    surfaced as a raw traceback."""
+    code, out = _drive_watchdog(bench_mod, monkeypatch, capsys, [
+        GOOD_PROBE, _FakeResult(1, "", "Traceback ... boom"),
+        GOOD_PROBE, GOOD_BENCH,
+    ])
+    assert code == 0
+    assert json.loads(out[-1])["value"] == 158.2
+
+
+def test_watchdog_bench_rc0_without_json_is_a_failure(
+        bench_mod, monkeypatch, capsys):
+    """rc=0 with no parseable line must not be trusted: retried, and the
+    final give-up is one labeled JSON error line."""
+    import itertools
+    script = itertools.cycle([GOOD_PROBE, _FakeResult(0, "no json here")])
+    code, out = _drive_watchdog(bench_mod, monkeypatch, capsys, script)
+    assert code == 1
+    obj = json.loads(out[-1])
+    assert obj["value"] is None
+    assert "gave up" in obj["error"]
+
+
 def test_watchdog_emits_labeled_json_when_budget_too_small():
     """With a deadline below the minimum attempt budget, the watchdog must
     still print one labeled JSON failure line and exit nonzero — the exact
