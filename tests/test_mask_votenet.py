@@ -78,7 +78,10 @@ def test_mask_votenet_forward_and_loss(tiny_mvn):
 def test_mask_votenet_loss_decreases(tiny_mvn):
     import optax
     model, variables, batch = tiny_mvn
-    tx = optax.adam(1e-3)
+    # lr 5e-3 converges this overfit in half the steps of the original 1e-3
+    # x 120 (measured curves: ratio 0.46 @60 steps vs 0.52 @120) — the scan
+    # execution was ~20 s of suite wall clock on this 1-vCPU host
+    tx = optax.adam(5e-3)
     opt_state = tx.init(variables["params"])
 
     def step(carry, _):
@@ -94,12 +97,12 @@ def test_mask_votenet_loss_decreases(tiny_mvn):
         updates, opt_state2 = tx.update(grads, opt_state)
         return (optax.apply_updates(params, updates), stats, opt_state2), loss
 
-    # all 120 steps in one lax.scan program: a per-step python loop pays
-    # dispatch overhead 120x and dominated this test's wall clock
+    # all steps in one lax.scan program: a per-step python loop pays
+    # dispatch overhead per step and dominated this test's wall clock
     @jax.jit
     def run(params, stats, opt_state):
         _, losses = jax.lax.scan(step, (params, stats, opt_state), None,
-                                 length=120)
+                                 length=60)
         return losses
 
     losses = np.asarray(

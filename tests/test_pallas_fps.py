@@ -25,6 +25,19 @@ def test_pallas_fps_skips_padding(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_fps_all_invalid_scene(rng):
+    # A scene of ALL zero points (||p||^2 <= 1e-3 skip) pins the -1 sentinel
+    # temp init: every score stays -1, argmax resolves to index 0 each
+    # iteration, output all zeros — mixed into a batch with a normal scene.
+    xyz = rng.randn(2, 400, 3).astype(np.float32) + 2.0
+    xyz[1] = 0.0
+    got = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 16, interpret=True))
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 16))
+    np.testing.assert_array_equal(got, want)
+    assert (got[1] == 0).all()
+
+
 def test_pallas_fps_multi_program(rng):
     # B > 8 exercises the multi-scene grid (8 scenes/program, 2 programs)
     xyz = rng.randn(10, 1100, 3).astype(np.float32)

@@ -34,7 +34,9 @@ def test_overfit_loss_decreases():
     lr = jnp.asarray(1e-3)
     mom = jnp.asarray(0.1)
     losses = []
-    for _ in range(40):
+    # 24 steps suffice: measured tail/first is ~0.28-0.33 from step 20 on
+    # (each step is ~0.3 s of 1-vCPU wall clock, so the count is kept tight)
+    for _ in range(24):
         state, m = step(state, batch, lr, mom)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
@@ -42,7 +44,7 @@ def test_overfit_loss_decreases():
     # model; require the best of the tail to clearly undercut the start
     first, tail = losses[0], np.mean(np.sort(losses[-15:])[:5])
     assert tail < 0.7 * first, (first, tail, losses)
-    assert int(state.step) == 40
+    assert int(state.step) == 24
 
 
 def test_train_step_multichip_mesh():
