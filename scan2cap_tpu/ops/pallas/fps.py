@@ -54,7 +54,8 @@ def _group_scan(v: jax.Array, r8: jax.Array, op, unit) -> jax.Array:
     return op(pre, suf)   # both include self; op must be idempotent on self
 
 
-def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
+def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
+                fold_valid: bool = True):
     """xyz_ref: (1, 3*R, cols) VMEM — rows [0:R)=x, [R:2R)=y, [2R:3R)=z,
     where R = _ROWS*_SCENES and scene s owns sublane rows [8s, 8s+8);
     out_ref: (1, R, npad) int32 (per-scene value broadcast across its 8
@@ -76,7 +77,12 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
     # the argmax score directly and the per-iteration (R, cols)
     # where(valid, t, -1) pass disappears (~1 of ~20 full-tile passes).
     # All-invalid groups behave as before: every score -1, cand = orig 0.
-    temp_ref[:] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
+    # fold_valid=False keeps the original two-pass variant for the on-device
+    # A/B (scripts/micro_fps.py); both are exact and CPU-parity-tested.
+    if fold_valid:
+        temp_ref[:] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
+    else:
+        temp_ref[:] = jnp.full((R, cols), 1e10, jnp.float32)
     BIG = jnp.int32(2 ** 30)
 
     def body(j, carry):
@@ -92,8 +98,9 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
         lx, ly, lz = l[:, 0:1], l[:, 1:2], l[:, 2:3]
         # diff-form f32 distances — bit-identical to the CUDA arithmetic
         d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        score = jnp.minimum(temp_ref[:], d2)   # -1 at invalid (see init)
-        temp_ref[:] = score
+        t = jnp.minimum(temp_ref[:], d2)       # -1 at invalid when folded
+        temp_ref[:] = t
+        score = t if fold_valid else jnp.where(valid, t, -1.0)
         m_col = jnp.max(score, axis=1, keepdims=True)            # (R, 1)
         m = _group_scan(m_col, r8, jnp.maximum, jnp.float32(-jnp.inf))
         cand = jnp.min(jnp.where(score == m, orig, BIG),
@@ -120,10 +127,14 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int):
             ((npoint - 1) // 128) * 128 + 128] = stage
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("npoint", "interpret", "fold_valid"))
 def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
-                                 interpret: bool = False) -> jax.Array:
-    """(B, N, 3) -> (B, npoint) int32; up to 8 scenes per program."""
+                                 interpret: bool = False,
+                                 fold_valid: bool = True) -> jax.Array:
+    """(B, N, 3) -> (B, npoint) int32; up to 8 scenes per program.
+    ``fold_valid=False`` selects the pre-tuning two-pass kernel variant
+    (identical results) so scripts/micro_fps.py can A/B both in-process."""
     B, N, _ = xyz.shape
     cb = min(B, _SCENES)
     R = _ROWS * cb
@@ -139,7 +150,8 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     xyz_t = xyz_t.reshape(G, cb, 3, _ROWS, cols).transpose(0, 2, 1, 3, 4)
     xyz_t = xyz_t.reshape(G, 3 * R, cols)
 
-    kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N)
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N,
+                               fold_valid=fold_valid)
     out = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -1,0 +1,74 @@
+"""A/B the FPS kernel's validity-fold tuning on the TPU.
+
+Both arms are the SAME kernel compiled with ``fold_valid`` True/False (a
+static arg, so two programs in one process — no trace-time env traps),
+timed by in-jit repetition at the sa1 eval shape (B=16 runs as two
+8-scene programs, the production grid).  The fold drops one full-tile
+``where(valid, t, -1)`` VPU pass per FPS iteration (~1 of ~20), so the
+expected win is ~5%; the A/B decides whether that materializes or Mosaic
+was already fusing the pass (docs/TPU_DESIGN.md records the verdict).
+
+Run: python scripts/micro_fps.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scan2cap_tpu.ops.pallas.fps import furthest_point_sample_pallas
+
+B, N, M = 16, 40000, 2048
+REP = 8
+
+
+def timed(make_fn, steps=4):
+    fn = jax.jit(make_fn)
+    float(fn(jnp.float32(0)))
+    ts = []
+    for s in range(steps):
+        t0 = time.perf_counter()
+        float(fn(jnp.float32((s + 1) * 1e-9)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / REP * 1e3
+
+
+def main():
+    print("devices:", jax.devices())
+    key = jax.random.PRNGKey(0)
+    xyz = jax.block_until_ready(jax.jit(
+        lambda k: jax.random.uniform(k, (B, N, 3), minval=-4.0, maxval=4.0)
+    )(key))
+
+    def rep(fold):
+        def fn(salt):
+            def step(acc, i):
+                idx = furthest_point_sample_pallas(
+                    xyz + (acc + salt + i) * 1e-12, M, fold_valid=fold)
+                return jnp.float32(jnp.sum(idx % 128)), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0),
+                                  jnp.arange(REP, dtype=jnp.float32))
+            return acc
+        return fn
+
+    # parity first (same inputs, both variants, on hardware)
+    a = np.asarray(furthest_point_sample_pallas(xyz, M, fold_valid=True))
+    b = np.asarray(furthest_point_sample_pallas(xyz, M, fold_valid=False))
+    assert (a == b).all(), "fold_valid variants disagree on device!"
+    print("variant parity: exact")
+
+    t_old = timed(rep(False))
+    print(f"two-pass (pre-tuning):  {t_old:7.2f} ms")
+    t_new = timed(rep(True))
+    print(f"validity-fold (tuned):  {t_new:7.2f} ms  "
+          f"({(t_old / t_new - 1) * 100:+.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

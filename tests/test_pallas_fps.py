@@ -38,6 +38,20 @@ def test_pallas_fps_all_invalid_scene(rng):
     assert (got[1] == 0).all()
 
 
+def test_pallas_fps_fold_valid_variants_agree(rng):
+    # the fold_valid=False arm is the pre-tuning two-pass kernel kept for
+    # the on-device A/B (scripts/micro_fps.py); both must be exact
+    xyz = rng.randn(3, 700, 3).astype(np.float32)
+    xyz[1, 400:] = 0.0  # mix of zero-padding and valid points
+    a = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, fold_valid=True))
+    b = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, fold_valid=False))
+    np.testing.assert_array_equal(a, b)
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 48))
+    np.testing.assert_array_equal(a, want)
+
+
 def test_pallas_fps_multi_program(rng):
     # B > 8 exercises the multi-scene grid (8 scenes/program, 2 programs)
     xyz = rng.randn(10, 1100, 3).astype(np.float32)
