@@ -82,7 +82,14 @@ def _bq_pack_kernel(q_ref, p_ref, words_ref, counts_ref, *, r2: float,
                              preferred_element_type=jnp.float32)  # (MQ, 48)
             lo = packed[:, 0:16].astype(jnp.int32)
             hi = packed[:, 16:32].astype(jnp.int32)
-            words.append(lo | (hi << 16))
+            # NOT `hi << 16`: Mosaic folds a shift on a cvt-derived int
+            # into the f32->i32 conversion as a float scale, which flushes
+            # results < 2^23 and corrupts >= 2^31 (hi half-words silently
+            # lost bits 0..6 on hardware; interpret mode is green).  An
+            # int multiply (or a split (hi<<8)<<8) breaks the fold and is
+            # exact — measured: scripts/micro_mxu_shift_probe.py, raw log
+            # docs/measurements/r3_tpu_queue/mxu_shift_probe.log.
+            words.append(lo | (hi * 65536))
             counts.append(packed[:, 32:48].astype(jnp.int32))
         words_ref[0, :, w0:w0 + 128] = jnp.concatenate(words, axis=1)
         counts_ref[0, :, w0:w0 + 128] = jnp.concatenate(counts, axis=1)

@@ -106,6 +106,20 @@ def check_bq():
             assert np.array_equal(got_p, want), \
                 f"pallas-pack ball_query mismatch at {(B, N, M, ns)}"
             print(f"  ball_query {B}x{N} M={M}: exact (pallas pack)")
+    # Dense-cluster pallas-pack case: every point inside the radius, so
+    # every packed half-word is 0xFFFF — exercises the hi*2^16 >= 2^31
+    # range of the word combine that the round-3 Mosaic cvt+shift fold
+    # corrupted (TPU_DESIGN §10; the random case above exercises the
+    # flush-below-2^23 range via mostly single-bit half-words).
+    rng = np.random.RandomState(3)
+    xyz = rng.rand(1, 8192, 3).astype(np.float32) * 0.05
+    new_xyz = xyz[:, :128].copy()
+    got_p = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz),
+                                  0.5, 32, pack="pallas"))
+    want = golden_bq(xyz, new_xyz, 0.5, 32)
+    assert np.array_equal(got_p, want), "pallas-pack dense-cluster mismatch"
+    print("  ball_query dense-cluster 1x8192 (all-ones words): exact "
+          "(pallas pack)")
 
 
 def check_three_nn():

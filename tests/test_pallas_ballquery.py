@@ -58,3 +58,26 @@ def test_pack_plus_decode_matches_ball_query(rng):
         words[..., :W], counts[..., :W])
     want = ball_query(xyz, q, R, S, mode="exact")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pack_dense_cluster_all_ones_words(rng):
+    """Every point inside the radius -> every half-word is 0xFFFF.
+
+    Exercises the word-combine at its extremes (hi*2^16 wrapping past
+    int32 max).  The round-3 hardware parity gate caught Mosaic folding
+    `<<16`-after-f32->i32-cast into a float-scaled conversion that
+    flushed hi half-words < 128 and corrupted >= 2^31; the kernel now
+    combines with an int multiply (ops/pallas/ballquery.py).  Interpret
+    mode cannot reproduce the fold, but this pins the combine SEMANTICS
+    at the value range where it broke; scripts/tpu_parity_check.py runs
+    the same shape on hardware.
+    """
+    N = 4096
+    xyz = jnp.asarray((rng.rand(1, N, 3) * 0.05).astype(np.float32))
+    q = xyz[:, :64]
+    words, counts = ball_query_pack_pallas(xyz, q, 0.5 ** 2, interpret=True)
+    W = N // 32
+    np.testing.assert_array_equal(
+        np.asarray(words)[..., :W], np.full((1, 64, W), 0xFFFFFFFF, np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(counts)[..., :W], np.full((1, 64, W), 32, np.int32))
