@@ -273,7 +273,10 @@ def main():
 
     scenes_per_sec = BATCH / dt
 
-    train_sps, train_ms = measure_train(cfg, model, vocab, emb_table)
+    if os.environ.get("SCAN2CAP_BENCH_TRAIN", "1") != "0":
+        train_sps, train_ms = measure_train(cfg, model, vocab, emb_table)
+    else:  # eval-only sweeps (e.g. SCAN2CAP_BENCH_BATCH A/Bs) skip the ~2 min
+        train_sps = train_ms = None
 
     floors = None
     if os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0":
@@ -288,8 +291,9 @@ def main():
         "baseline_note": ("denominator ~2 scenes/s is an estimate of the "
                           "reference eval loop on V100; the repo publishes "
                           "no throughput number (BASELINE.md)"),
-        "train_scenes_per_sec_chip": round(train_sps, 3),
-        "train_ms_per_step": round(train_ms, 1),
+        "train_scenes_per_sec_chip":
+            None if train_sps is None else round(train_sps, 3),
+        "train_ms_per_step": None if train_ms is None else round(train_ms, 1),
         "train_batch": TRAIN_BATCH,
         "floors": floors,
     }))
