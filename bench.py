@@ -38,9 +38,12 @@ BASELINE_SCENES_PER_SEC = 2.0  # ESTIMATE — the reference publishes no
 # scenes/s number (BASELINE.md); the JSON labels this explicitly via
 # baseline_estimated/baseline_note so no unlabeled estimates leave this file.
 BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "32"))
-# one pre-generated device-resident batch per timed step; cap TOTAL staged
-# scenes (STEPS*BATCH <= 256 ~ 5.5 GB) so large BATCH overrides don't OOM
-STEPS = max(1, min(8, 256 // BATCH))
+# one pre-generated device-resident batch per timed scan step; stage 256
+# scenes TOTAL regardless of batch size (~5.5 GB, the memory cap) so every
+# batch size amortizes the ~30 ms tunnel dispatch over the same work —
+# with a small fixed step cap the small-batch points underread chip
+# throughput by up to ~8% (dispatch overhead charged to fewer scenes)
+STEPS = max(1, 256 // BATCH)
 TRAIN_BATCH = int(os.environ.get("SCAN2CAP_BENCH_TRAIN_BATCH", "16"))
 TRAIN_SCAN_STEPS = 4
 NUM_VOCABS = 3433
