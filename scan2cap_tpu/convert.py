@@ -75,7 +75,10 @@ def _convert_conv(sd, prefix, params, base):
 def convert_votenet_checkpoint(pth_path: str) -> Tuple[dict, dict]:
     """Returns (params, batch_stats) subtrees for backbone_net/vgen/proposal —
     the detection modules the trainer mounts (scripts/train.py:82-105)."""
-    sd = _load_state_dict(pth_path)
+    return _convert_detection_tree(_load_state_dict(pth_path))
+
+
+def _convert_detection_tree(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     params: dict = {}
     stats: dict = {}
 
@@ -99,6 +102,121 @@ def convert_votenet_checkpoint(pth_path: str) -> Tuple[dict, dict]:
     _convert_conv(sd, "proposal.proposal.3", params, ("proposal", "conv2"))
     _convert_bn(sd, "proposal.proposal.4", params, stats, ("proposal", "bn2"))
     _convert_conv(sd, "proposal.proposal.6", params, ("proposal", "conv3"))
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Full CapNet: graph + caption modules (the model.pth the reference's eval
+# and benchmark paths load — scripts/eval.py:106-108, benchmark/predict.py:102)
+# ---------------------------------------------------------------------------
+
+
+def _convert_linear(sd, prefix, params, base):
+    """torch nn.Linear weight (out, in) -> Dense kernel (in, out)."""
+    _set(params, base + ("kernel",),
+         np.ascontiguousarray(sd[prefix + ".weight"].T))
+    if prefix + ".bias" in sd:
+        _set(params, base + ("bias",), sd[prefix + ".bias"])
+
+
+def _convert_gru(sd, prefix, params, base):
+    """torch nn.GRUCell -> models/layers.GRUCell (ih/hh Dense pairs).
+
+    Both sides fuse the three gates on the output axis in the same (r, z, n)
+    order (torch.nn.GRUCell docs; models/layers.py GRUCell), so the fused
+    matrices transpose directly."""
+    _set(params, base + ("ih", "kernel"), sd[prefix + ".weight_ih"].T)
+    _set(params, base + ("ih", "bias"), sd[prefix + ".bias_ih"])
+    _set(params, base + ("hh", "kernel"), sd[prefix + ".weight_hh"].T)
+    _set(params, base + ("hh", "bias"), sd[prefix + ".bias_hh"])
+
+
+def convert_graph_module(sd: Dict[str, np.ndarray], params: dict) -> int:
+    """GraphModule weights (reference models/graph_module.py:132-152):
+    ``graph.gc_layers.{i}`` is an EdgeConv (map_edge Sequential, Linear at
+    indices 0 and 2) or a torch_geometric GCNConv (``lin`` + separate
+    ``bias``); ``graph.edge_layer``/``graph.edge_predict`` exist when
+    return_orientation.  Returns the number of graph layers found."""
+    i = 0
+    while True:
+        base = ("graph", f"gc_{i}")
+        if f"graph.gc_layers.{i}.map_edge.0.weight" in sd:       # EdgeConv
+            _convert_linear(sd, f"graph.gc_layers.{i}.map_edge.0",
+                            params, base + ("map_edge_0",))
+            _convert_linear(sd, f"graph.gc_layers.{i}.map_edge.2",
+                            params, base + ("map_edge_1",))
+        elif f"graph.gc_layers.{i}.lin.weight" in sd:            # GCNConv
+            _convert_linear(sd, f"graph.gc_layers.{i}.lin",
+                            params, base + ("lin",))
+            out = sd[f"graph.gc_layers.{i}.lin.weight"].shape[0]
+            # PyG's internal lin carries no bias; GCNConvDense's does
+            _set(params, base + ("lin", "bias"), np.zeros(out, np.float32))
+            _set(params, base + ("bias",),
+                 sd[f"graph.gc_layers.{i}.bias"])
+        elif f"graph.gc_layers.{i}.weight" in sd:
+            # legacy torch_geometric (<=1.6, the reference's era) stored
+            # GCNConv.weight directly as (in_channels, out_channels)
+            w = sd[f"graph.gc_layers.{i}.weight"]
+            _set(params, base + ("lin", "kernel"), w)
+            _set(params, base + ("lin", "bias"),
+                 np.zeros(w.shape[1], np.float32))
+            _set(params, base + ("bias",),
+                 sd[f"graph.gc_layers.{i}.bias"])
+        else:
+            break
+        i += 1
+    if i == 0:
+        raise KeyError("no graph.gc_layers.* in state_dict")
+    if "graph.edge_layer.map_edge.0.weight" in sd:
+        _convert_linear(sd, "graph.edge_layer.map_edge.0",
+                        params, ("graph", "edge_layer", "map_edge_0"))
+        _convert_linear(sd, "graph.edge_layer.map_edge.2",
+                        params, ("graph", "edge_layer", "map_edge_1"))
+        _convert_linear(sd, "graph.edge_predict",
+                        params, ("graph", "edge_predict"))
+    return i
+
+
+def convert_caption_module(sd: Dict[str, np.ndarray], params: dict) -> str:
+    """Caption decoder weights: TopDownSceneCaptionModule
+    (reference models/caption_module.py:225-248) or the plain
+    SceneCaptionModule (caption_module.py:40-65), detected by key presence.
+    Returns which variant was found ("topdown" | "scene")."""
+    if "caption.map_topdown.0.weight" in sd:
+        _convert_linear(sd, "caption.map_topdown.0",
+                        params, ("caption", "map_topdown"))
+        _convert_gru(sd, "caption.recurrent_cell_1",
+                     params, ("caption", "recurrent_cell_1"))
+        for name in ("map_feat", "map_hidd", "attend"):
+            _convert_linear(sd, f"caption.{name}", params, ("caption", name))
+        _convert_linear(sd, "caption.map_lang.0",
+                        params, ("caption", "map_lang"))
+        _convert_gru(sd, "caption.recurrent_cell_2",
+                     params, ("caption", "recurrent_cell_2"))
+        variant = "topdown"
+    elif "caption.map_feat.0.weight" in sd:
+        _convert_linear(sd, "caption.map_feat.0",
+                        params, ("caption", "map_feat"))
+        _convert_gru(sd, "caption.recurrent_cell",
+                     params, ("caption", "recurrent_cell"))
+        variant = "scene"
+    else:
+        raise KeyError("no caption.* module in state_dict")
+    _convert_linear(sd, "caption.classifier", params, ("caption", "classifier"))
+    return variant
+
+
+def convert_capnet_checkpoint(pth_path: str) -> Tuple[dict, dict]:
+    """Full Scan2Cap ``model.pth`` -> (params, batch_stats) for CapNet:
+    detection (backbone_net/vgen/proposal) + graph + caption, each converted
+    when present (scripts/eval.py:106-108 loads exactly this artifact; a
+    --no_caption or num_graph_steps=0 checkpoint simply lacks those keys)."""
+    sd = _load_state_dict(pth_path)
+    params, stats = _convert_detection_tree(sd)
+    if any(k.startswith("graph.") for k in sd):
+        convert_graph_module(sd, params)
+    if any(k.startswith("caption.") for k in sd):
+        convert_caption_module(sd, params)
     return params, stats
 
 
@@ -201,6 +319,16 @@ def convert_enet_checkpoint(pth_path: str, include_classifier: bool = False
         params = {"encoder": params, "classifier": {"kernel": cls_kernel}}
         stats = {"encoder": stats}
     return params, stats
+
+
+def mount_capnet_weights(state, pth_path: str):
+    """Mount a FULL Scan2Cap ``model.pth`` (detection + graph + caption)
+    onto a TrainState — the artifact the reference's eval/benchmark load
+    (scripts/eval.py:106-108, benchmark/predict.py:102)."""
+    conv_params, conv_stats = convert_capnet_checkpoint(pth_path)
+    params = _merge(dict(state.params), conv_params)
+    stats = _merge(dict(state.batch_stats), conv_stats)
+    return state.replace(params=params, batch_stats=stats)
 
 
 def mount_detection_weights(state, pth_path: str):
@@ -306,6 +434,84 @@ def export_votenet_checkpoint(params: dict, batch_stats: dict,
     put_conv("proposal.proposal.3", ("proposal", "conv2"))
     put_bn("proposal.proposal.4", ("proposal", "bn2"))
     put_conv("proposal.proposal.6", ("proposal", "conv3"))
+
+    if out_path is not None:
+        torch.save(sd, out_path)
+    return sd
+
+
+def export_capnet_checkpoint(params: dict, batch_stats: dict,
+                             out_path: Optional[str] = None) -> dict:
+    """Inverse of convert_capnet_checkpoint: emit a FULL ``model.pth``
+    (detection + graph + caption) in the reference's exact key layout, so a
+    model trained here can be loaded by the reference's eval/benchmark
+    scripts (scripts/eval.py:106-108, benchmark/predict.py:102)."""
+    import torch
+
+    sd = (export_votenet_checkpoint(params, batch_stats)
+          if "backbone_net" in params else {})
+
+    def put_linear(prefix, base):
+        leaf = _get_node(params, base)
+        w = np.ascontiguousarray(np.asarray(leaf["kernel"], np.float32).T)
+        sd[prefix + ".weight"] = torch.from_numpy(w.copy())
+        if "bias" in leaf:
+            sd[prefix + ".bias"] = torch.from_numpy(
+                np.asarray(leaf["bias"], np.float32).copy())
+
+    def put_gru(prefix, base):
+        for half in ("ih", "hh"):
+            leaf = _get_node(params, base + (half,))
+            sd[f"{prefix}.weight_{half}"] = torch.from_numpy(
+                np.ascontiguousarray(np.asarray(leaf["kernel"], np.float32).T)
+                .copy())
+            sd[f"{prefix}.bias_{half}"] = torch.from_numpy(
+                np.asarray(leaf["bias"], np.float32).copy())
+
+    graph = params.get("graph", {})
+    i = 0
+    while f"gc_{i}" in graph:
+        layer = graph[f"gc_{i}"]
+        if "map_edge_0" in layer:                                 # EdgeConv
+            put_linear(f"graph.gc_layers.{i}.map_edge.0",
+                       ("graph", f"gc_{i}", "map_edge_0"))
+            put_linear(f"graph.gc_layers.{i}.map_edge.2",
+                       ("graph", f"gc_{i}", "map_edge_1"))
+        else:                                                     # GCNConv
+            # PyG's internal lin is bias-free: a nonzero Dense bias here
+            # passes through the (input-dependent) degree normalization and
+            # cannot be folded into GCNConv's post-norm bias exactly.
+            lin_bias = np.asarray(layer["lin"].get("bias", np.zeros(1)))
+            if np.abs(lin_bias).max() > 1e-6:
+                raise ValueError(
+                    f"graph.gc_{i}.lin has a nonzero bias; torch_geometric "
+                    "GCNConv has no pre-normalization bias to map it onto")
+            w = np.ascontiguousarray(
+                np.asarray(layer["lin"]["kernel"], np.float32).T)
+            sd[f"graph.gc_layers.{i}.lin.weight"] = torch.from_numpy(w.copy())
+            sd[f"graph.gc_layers.{i}.bias"] = torch.from_numpy(
+                np.asarray(layer["bias"], np.float32).copy())
+        i += 1
+    if "edge_layer" in graph:
+        put_linear("graph.edge_layer.map_edge.0",
+                   ("graph", "edge_layer", "map_edge_0"))
+        put_linear("graph.edge_layer.map_edge.2",
+                   ("graph", "edge_layer", "map_edge_1"))
+        put_linear("graph.edge_predict", ("graph", "edge_predict"))
+
+    caption = params.get("caption", {})
+    if "map_topdown" in caption:                                  # TopDown
+        put_linear("caption.map_topdown.0", ("caption", "map_topdown"))
+        put_gru("caption.recurrent_cell_1", ("caption", "recurrent_cell_1"))
+        for name in ("map_feat", "map_hidd", "attend"):
+            put_linear(f"caption.{name}", ("caption", name))
+        put_linear("caption.map_lang.0", ("caption", "map_lang"))
+        put_gru("caption.recurrent_cell_2", ("caption", "recurrent_cell_2"))
+    elif "recurrent_cell" in caption:                             # Scene
+        put_linear("caption.map_feat.0", ("caption", "map_feat"))
+        put_gru("caption.recurrent_cell", ("caption", "recurrent_cell"))
+    if caption:
+        put_linear("caption.classifier", ("caption", "classifier"))
 
     if out_path is not None:
         torch.save(sd, out_path)

@@ -102,16 +102,23 @@ def evaluate(args):
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
     if args.use_pretrained and args.use_pretrained.endswith(".pth"):
-        # detection eval of released VoteNet weights (reference
-        # scripts/eval.py --eval_pretrained + README.md:160-164).  The .pth
-        # holds ONLY backbone/voting/proposal weights — the caption decoder
-        # would be random init, so caption eval is meaningless here.
-        if args.eval_caption:
+        # .pth eval: a FULL Scan2Cap model.pth (detection + graph + caption,
+        # the reference's scripts/eval.py:106-108 artifact) mounts everything
+        # and supports caption eval; a detection-only VoteNet .pth
+        # (README.md:160-164 released weights) leaves the caption decoder at
+        # random init, so caption eval is rejected for those.
+        from scan2cap_tpu.convert import (
+            _load_state_dict, mount_capnet_weights, mount_detection_weights)
+        has_caption = any(k.startswith("caption.")
+                          for k in _load_state_dict(args.use_pretrained))
+        if has_caption:
+            state = mount_capnet_weights(state, args.use_pretrained)
+        elif args.eval_caption:
             raise SystemExit(
-                "--use_pretrained <.pth> mounts detection weights only; "
+                "--use_pretrained <.pth> holds detection weights only; "
                 "combine it with --eval_detection, not --eval_caption")
-        from scan2cap_tpu.convert import mount_detection_weights
-        state = mount_detection_weights(state, args.use_pretrained)
+        else:
+            state = mount_detection_weights(state, args.use_pretrained)
     else:
         src = (os.path.join(paths.output, args.use_pretrained, "ckpt")
                if args.use_pretrained else os.path.join(folder, "ckpt"))

@@ -103,19 +103,31 @@ def test_train_cli_runs(cli_data):
     assert res.returncode == 0, res.stderr[-3000:]
     assert "check ok" in res.stdout, res.stdout[-500:]
 
-    # reverse converter: trained run -> reference-layout .pth -> warm-start
-    # load through the forward converter (the --use_pretrained contract)
+    # reverse converter: trained FULL run -> reference-layout model.pth ->
+    # load through the forward converter (the reference's
+    # scripts/eval.py:106-108 contract, detection + graph + caption)
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "export_pth.py"),
          "--folder", run.name],
         env=env, capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stderr[-3000:]
-    pth = run / "votenet.pth"
+    pth = run / "model.pth"
     assert pth.exists()
-    from scan2cap_tpu.convert import convert_votenet_checkpoint
-    back_p, back_s = convert_votenet_checkpoint(str(pth))
-    assert set(back_p) == {"backbone_net", "vgen", "proposal"}
+    from scan2cap_tpu.convert import convert_capnet_checkpoint
+    back_p, back_s = convert_capnet_checkpoint(str(pth))
+    assert set(back_p) >= {"backbone_net", "vgen", "proposal",
+                           "graph", "caption"}
     assert "mlp" in back_p["backbone_net"]["sa1"]
+    assert "map_topdown" in back_p["caption"]
+    assert "map_edge_0" in back_p["graph"]["gc_0"]
+
+    # --detection_only keeps the VoteNet-subset export available
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export_pth.py"),
+         "--folder", run.name, "--detection_only"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert (run / "votenet.pth").exists()
 
 
 @pytest.mark.slow
