@@ -37,12 +37,19 @@ import numpy as np
 BASELINE_SCENES_PER_SEC = 2.0  # ESTIMATE — the reference publishes no
 # scenes/s number (BASELINE.md); the JSON labels this explicitly via
 # baseline_estimated/baseline_note so no unlabeled estimates leave this file.
-BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "32"))
+# B=8 is the measured throughput knee of the round-4 clean sweep (B2 161.1
+# < B4 181.7 < B8 188.7 > B16 174.8 > B32 159.8 > B64 145.1 scenes/s,
+# docs/measurements/r4/eval_batch_sweep.json): one 8-scene Pallas FPS
+# program per step, and the decode working set stays cache-friendly.
+BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "8"))
 # one pre-generated device-resident batch per timed scan step; stage 256
-# scenes TOTAL regardless of batch size (~5.5 GB, the memory cap) so every
-# batch size amortizes the ~30 ms tunnel dispatch over the same work —
-# with a small fixed step cap the small-batch points underread chip
-# throughput by up to ~8% (dispatch overhead charged to fewer scenes)
+# scenes TOTAL (~5.5 GB, the memory cap) so every batch size amortizes the
+# ~30 ms tunnel dispatch over the same work — with a small fixed step cap
+# the small-batch points underread chip throughput by up to ~8% (dispatch
+# overhead charged to fewer scenes).  The 256-scene cap only holds for
+# BATCH <= 256: above that STEPS clamps to 1 and a single BATCH-scene
+# stage exceeds it, so reject such overrides instead of silently OOMing.
+assert BATCH <= 256, "SCAN2CAP_BENCH_BATCH > 256 exceeds the staging memory cap"
 STEPS = max(1, 256 // BATCH)
 TRAIN_BATCH = int(os.environ.get("SCAN2CAP_BENCH_TRAIN_BATCH", "16"))
 TRAIN_SCAN_STEPS = 4
@@ -108,17 +115,25 @@ def measure_train(cfg, model, vocab, emb_table):
     return B / dt, dt * 1e3
 
 
-def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=4):
+def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8):
     """Live per-op floor accounting for the three dominant eval-path ops at
     the B=16 sa1 shapes (VERDICT r2 item 9: the perf-is-closed claim must be
     auditable from the bench artifact alone).
 
-    Each op is timed with in-jit repetition (lax.scan with a data dependency
-    between iterations — single dispatches are swamped by ~27 ms of tunnel
-    overhead, CLAUDE.md).  Floor values and their bases are the measured
-    bounds from docs/TPU_DESIGN.md §1/§6b (stated at the default sa1
-    shapes; the shape parameters exist so tests can exercise this path on
-    CPU at toy sizes).
+    Harness (reconciled round 4, VERDICT r3 item 4): each op runs REP times
+    inside ONE jit (lax.scan with a data dependency between iterations), and
+    the host dispatch+scalar-readback overhead of the timed call — ~27-40 ms
+    over this tunnel, measured LIVE on a trivial jitted program in the same
+    process — is subtracted before dividing by REP.  Round-3's digest divided
+    by REP=4 without the subtraction, overstating every op by overhead/4
+    ≈ 7 ms: its fps read 15-16 ms while a 1-step device trace read 9.3 ms
+    for the same kernel.  The per-rep input perturbation stays (identical
+    dispatches can be cache-served here) but the gather's rep salt moves to
+    the int INDICES — the old full-table f32 add streamed an extra 328 MB
+    per rep.  Floor values and their bases are the measured bounds from
+    docs/TPU_DESIGN.md §1/§6b/§10 (stated at the default sa1 shapes; the
+    shape parameters exist so tests can exercise this path on CPU at toy
+    sizes, where measured-overhead can exceed the op and clamp to 0).
     """
     from scan2cap_tpu.ops.sampling import furthest_point_sample
     from scan2cap_tpu.ops.grouping import ball_query, group_points
@@ -133,15 +148,22 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=4):
     gidx = jax.block_until_ready(
         jax.jit(lambda k: jax.random.randint(k, (B, M, S), 0, N))(key))
 
-    def timed(fn, *args):
-        fn_j = jax.jit(fn)
+    def timed_call(fn_j, *args):
         float(fn_j(*args, jnp.float32(0)))  # compile + warmup
         ts = []
-        for s in range(3):
+        for s in range(5):
             t0 = time.perf_counter()
             float(fn_j(*args, jnp.float32((s + 1) * 1e-9)))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) / REP * 1e3
+        return float(np.median(ts))
+
+    # the dispatch+readback cost every timed call below also pays: a trivial
+    # program whose execution is ~0, so its wall time IS the overhead.
+    overhead_s = timed_call(jax.jit(lambda salt: salt + 1.0))
+
+    def timed(fn, *args):
+        t = timed_call(jax.jit(fn), *args)
+        return max(0.0, t - overhead_s) / REP * 1e3
 
     def fps_rep(x, salt):
         def body(acc, i):
@@ -161,32 +183,37 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=4):
 
     def gather_rep(t, idx, salt):
         def body(acc, i):
-            g = group_points(t + (acc + salt + i) * 1e-12, idx)
-            return jnp.sum(g[:, ::64, 0, 0]), None
+            g = group_points(t, (idx + i) % N)
+            return acc + jnp.sum(g[:, ::64, 0, 0]) * (1.0 + salt), None
         acc, _ = jax.lax.scan(body, jnp.float32(0),
-                              jnp.arange(REP, dtype=jnp.float32))
+                              jnp.arange(REP, dtype=jnp.int32))
         return acc
+
+    def entry(measured, floor, basis):
+        return {"measured_ms": round(measured, 2), "floor_ms": floor,
+                "ratio": round(measured / floor, 2) if floor > 0 else None,
+                "floor_basis": basis}
 
     slices = B * M * S
     return {
         "shapes": f"B={B} N={N} M={M} S={S} (sa1 eval config)",
-        "fps": {
-            "measured_ms": round(timed(fps_rep, xyz), 2),
-            "floor_ms": 7.0,
-            "floor_basis": "VMEM-streaming bound estimate (TPU_DESIGN §1)",
-        },
-        "ball_query": {
-            "measured_ms": round(timed(bq_rep, xyz, new_xyz), 2),
-            "floor_ms": 8.4,
-            "floor_basis": "distance+pack pass alone "
-                           "(scripts/micro_ballquery.py dist_count)",
-        },
-        "sa1_gather": {
-            "measured_ms": round(timed(gather_rep, table, gidx), 2),
-            "floor_ms": round(slices * 13e-9 * 1e3, 1),
-            "floor_basis": f"{slices/1e6:.1f}M slices x ~13 ns/slice measured "
-                           "HBM gather floor (TPU_DESIGN §6b)",
-        },
+        "dispatch_overhead_ms": round(overhead_s * 1e3, 1),
+        "rep": REP,
+        "fps": entry(
+            timed(fps_rep, xyz), 7.0,
+            "~19 full-tile VPU passes/iter x 2048 dependent iterations at "
+            "peak VPU issue (TPU_DESIGN §1/§10); residual gap is the "
+            "cross-lane argmax latency each next iteration must wait on"),
+        "ball_query": entry(
+            timed(bq_rep, xyz, new_xyz), 8.4,
+            "distance+pack phase measured on device (7.4-8.5 ms, TPU_DESIGN "
+            "§10); the slot-decode remainder resists fusion (Pallas fuse "
+            "measured end-to-end negative)"),
+        "sa1_gather": entry(
+            timed(gather_rep, table, gidx),
+            round(slices * 13e-9 * 1e3, 1),
+            f"{slices/1e6:.1f}M slices x ~13 ns/slice measured HBM gather "
+            "floor (TPU_DESIGN §6b)"),
     }
 
 
@@ -297,7 +324,10 @@ def main():
         "train_scenes_per_sec_chip":
             None if train_sps is None else round(train_sps, 3),
         "train_ms_per_step": None if train_ms is None else round(train_ms, 1),
-        "train_batch": TRAIN_BATCH,
+        # when the train measurement is skipped, don't emit a batch size that
+        # could be mis-joined as if a B16 measurement ran (ADVICE r3)
+        "train_batch": None if train_sps is None else TRAIN_BATCH,
+        "train_skipped": train_sps is None,
         "floors": floors,
     }))
 
