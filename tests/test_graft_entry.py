@@ -73,8 +73,53 @@ def test_dryrun_multichip_end_to_end():
     """The real subprocess passes even when the caller env selects a TPU."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "axon"  # sabotage: plugin platform in caller env
+    env["SCAN2CAP_DRYRUN_FLAGSHIP"] = "0"  # tiny stage only (flagship below)
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "1dev-vs-ndev ok" in proc.stdout
+    assert "flagship" not in proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_flagship_stage():
+    """Stage 2 (VERDICT r3 item 5): the dryrun at the canonical reference
+    shapes (40k points, 256 proposals, num_locals=10, vocab 3433, B=8) must
+    certify 1-dev-vs-n-dev eval token equality AND log the per-step
+    collective byte count from the optimized sharded HLO."""
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "flagship stage" in proc.stdout, proc.stdout
+    assert "1dev-vs-ndev eval tokens exact" in proc.stdout
+    assert "train collectives/step" in proc.stdout
+    # the TP+DP train step must actually move bytes over the mesh
+    import re
+
+    m = re.search(r"train collectives/step: \{[^}]*'total': (\d+)",
+                  proc.stdout)
+    assert m and int(m.group(1)) > 0, proc.stdout
+
+
+def test_collective_bytes_accounting():
+    """_collective_bytes parses optimized-HLO collectives into per-op byte
+    totals (the scaling-projection hook in the MULTICHIP artifact)."""
+    import __graft_entry__ as g
+
+    hlo = "\n".join([
+        "  %ar = f32[8,128]{1,0} all-reduce(%x), replica_groups={}",
+        "  %ag.1 = bf16[16,256]{1,0} all-gather(%y), dimensions={0}",
+        "  %t = (f32[64]{0}, f32[64]{0}) all-reduce(%a, %b)",
+        "  %cp = u32[32]{0} collective-permute(%z)",
+        "  %not_coll = f32[999]{0} add(%p, %q)",
+    ])
+    out = g._collective_bytes(hlo)
+    assert out["all-reduce"] == 8 * 128 * 4 + 2 * 64 * 4
+    assert out["all-gather"] == 16 * 256 * 2
+    assert out["collective-permute"] == 32 * 4
+    assert out["total"] == sum(v for k, v in out.items() if k != "total")
