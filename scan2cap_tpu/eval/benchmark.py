@@ -442,8 +442,40 @@ def evaluate_dense_captioning(predictions: Dict, gts: Dict,
     results = calc.compute_metrics()
     results["meteor_backend"] = SENTENCE_METEOR_BACKEND
     if verbose:
-        print(f"--- dense captioning mAP: {results['mAP']:.4f} "
+        print(f"--- dense captioning mAP (raw, reference thresholds): "
+              f"{results['mAP']:.4f} "
               f"(sentence-METEOR backend: {SENTENCE_METEOR_BACKEND})")
+    # Offline backend: also emit the grid at backend-CALIBRATED METEOR
+    # thresholds (VERDICT r3 item 8).  The raw grid under-gates because the
+    # offline scorer runs lower than the full-METEOR scale the [.15-.75]
+    # thresholds were calibrated to; the calibrated grid lowers each
+    # threshold by the shortfall fitted on the delta corpus against its
+    # synonym ORACLE (an upper bound), so the reference-equivalent mAP lies
+    # BETWEEN the two.  Both are labeled; only backend-matched numbers are
+    # directly comparable (capeval/calibration.py).
+    if SENTENCE_METEOR_BACKEND != "nltk-wordnet":
+        from scan2cap_tpu.eval.capeval.calibration import (
+            calibrated_meteor_thresholds)
+        cal_ths, fit = calibrated_meteor_thresholds()
+        cal_calc = DenseCapAPCalculator(meteor_thresholds=cal_ths)
+        cal_calc.pred_map = calc.pred_map
+        cal_calc.gt_map = calc.gt_map
+        cal_calc.scan_cnt = calc.scan_cnt
+        cal = cal_calc.compute_metrics()
+        results["calibrated"] = {
+            "AP": cal["AP"], "mAP": cal["mAP"],
+            "meteor_thresholds": list(cal_ths),
+            "reference_thresholds": [.15, .3, .45, .6, .75],
+            "fit": fit,
+            "note": "thresholds lowered by the offline-backend METEOR "
+                    "shortfall fitted on the delta corpus vs its synonym "
+                    "oracle; brackets the reference-backend grid from above",
+        }
+        if verbose:
+            print(f"--- dense captioning mAP (backend-calibrated "
+                  f"thresholds {list(cal_ths)}): {cal['mAP']:.4f} "
+                  f"(shortfall fit a={fit['a']:.4f} b={fit['b']:.4f} "
+                  f"on {fit['n_pairs']} pairs)")
     return results
 
 

@@ -82,11 +82,13 @@ if _HAS_WORDNET:
 
 
 def _align(hyp: List[str], ref: List[str],
-           syn_stage: Optional[str] = "auto") -> List[Tuple[int, int]]:
+           syn_stage="auto") -> List[Tuple[int, int]]:
     """Greedy staged (exact, stem[, synonym]) alignment: each hyp token
     matches the earliest unmatched ref token.  Per-token keys (stems,
     synset sets) are computed ONCE per sentence, not per pair.
-    ``syn_stage``: "auto" (process default), "wordnet", "domsyn", None."""
+    ``syn_stage``: "auto" (process default), "wordnet", "domsyn", None, or
+    a callable ``word -> frozenset`` key function (custom synonym table —
+    used by the calibration oracle, capeval/delta_corpus.py)."""
     if syn_stage == "auto":
         syn_stage = _DEFAULT_SYN_STAGE
     matches: List[Tuple[int, int]] = []
@@ -107,6 +109,11 @@ def _align(hyp: List[str], ref: List[str],
     stage(hyp, ref, eq)
     stage([_stem(w) for w in hyp], [_stem(w) for w in ref], eq)
     overlap = lambda a, b: bool(a) and not a.isdisjoint(b)
+    if callable(syn_stage):
+        stage([syn_stage(w) for w in hyp], [syn_stage(w) for w in ref],
+              overlap)
+        matches.sort()
+        return matches
     if syn_stage == "wordnet" and not _HAS_WORDNET:
         raise RuntimeError("wordnet synonym stage requested but the nltk "
                            "wordnet corpus is not installed")
@@ -133,8 +140,7 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
-def single_meteor_score(ref: str, hyp: str,
-                        syn_stage: Optional[str] = "auto") -> float:
+def single_meteor_score(ref: str, hyp: str, syn_stage="auto") -> float:
     hyp_t = hyp.split()
     ref_t = ref.split()
     if not hyp_t or not ref_t:

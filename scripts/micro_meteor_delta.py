@@ -30,69 +30,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
 
+from scan2cap_tpu.eval.capeval.delta_corpus import (make_pairs,
+                                                    oracle_synonym_ids)
 from scan2cap_tpu.eval.capeval.meteor import _HAS_WORDNET, single_meteor_score
-from scan2cap_tpu.eval.capeval.synonyms import SYNONYM_GROUPS
-
-OBJECTS = ["chair", "table", "couch", "bed", "desk", "cabinet", "shelf",
-           "toilet", "sink", "refrigerator", "television", "trashcan",
-           "lamp", "door", "window", "pillow", "monitor", "stool",
-           "dresser", "bookshelf", "curtain", "mirror", "bench", "box"]
-COLORS = ["black", "white", "brown", "gray", "red", "blue", "green", "tan",
-          "dark", "light", "beige", "purple"]
-SIZES = ["small", "large", "big", "tall", "long", "round", "rectangular",
-         "narrow", "wide", "tiny", "square", "flat"]
-ANCHORS = ["wall", "door", "window", "corner", "bed", "table", "desk",
-           "couch", "shelf", "sink", "doorway", "counter"]
-RELATIONS = ["next to", "near", "under", "above", "beside", "behind",
-             "in front of", "to the left of", "to the right of",
-             "across from", "between", "against"]
-VERBS = ["is", "sits", "stands", "is placed", "is located", "rests",
-         "is positioned", "hangs"]
-
-TEMPLATES = [
-    "sos this is a {size} {color} {obj} . it {verb} {rel} the {anchor} . eos",
-    "sos the {color} {obj} {verb} {rel} the {anchor} . it is {size} . eos",
-    "sos there is a {size} {obj} {rel} the {anchor} . it is {color} . eos",
-    "sos a {color} {size} {obj} . the {obj} {verb} {rel} the {anchor} . eos",
-]
-
-# word -> candidate synonym substitutions, derived from the same curated
-# groups the domsyn stage uses (so substitutions are realistic paraphrases,
-# not random noise) plus common caption near-synonyms the table REJECTS
-# (table/desk, cup/mug) to keep the hypothesis distribution honest.
-_SUBS = {}
-for group in SYNONYM_GROUPS:
-    for w in group:
-        _SUBS.setdefault(w, []).extend(x for x in group if x != w)
-for a, b in (("table", "desk"), ("desk", "table"), ("trashcan", "bin"),
-             ("television", "screen"), ("cabinet", "cupboard")):
-    _SUBS.setdefault(a, []).append(b)
-
-
-def make_pair(rs: np.random.RandomState):
-    fields = dict(
-        size=rs.choice(SIZES), color=rs.choice(COLORS),
-        obj=rs.choice(OBJECTS), verb=rs.choice(VERBS),
-        rel=rs.choice(RELATIONS), anchor=rs.choice(ANCHORS))
-    ref = rs.choice(TEMPLATES).format(**fields)
-    toks = ref.split()
-    out = []
-    for t in toks:
-        r = rs.rand()
-        if r < 0.18 and t in _SUBS:                 # synonym substitution
-            out.append(_SUBS[t][rs.randint(len(_SUBS[t]))])
-        elif r < 0.24 and t not in ("sos", "eos"):  # drop
-            continue
-        else:
-            out.append(t)
-    # local swap
-    if len(out) > 4 and rs.rand() < 0.3:
-        i = rs.randint(1, len(out) - 2)
-        out[i], out[i + 1] = out[i + 1], out[i]
-    # truncation (decoder ran out of steps)
-    if len(out) > 6 and rs.rand() < 0.15:
-        out = out[: rs.randint(6, len(out))]
-    return ref, " ".join(out)
 
 
 def main():
@@ -101,10 +41,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    rs = np.random.RandomState(args.seed)
-    pairs = [make_pair(rs) for _ in range(args.pairs)]
+    pairs = make_pairs(args.pairs, args.seed)
 
-    stages = {"exact-stem": None, "domsyn": "domsyn"}
+    stages = {"exact-stem": None, "domsyn": "domsyn",
+              "oracle": oracle_synonym_ids}
     if _HAS_WORDNET:
         stages["wordnet"] = "wordnet"
 
