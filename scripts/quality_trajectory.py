@@ -1,0 +1,239 @@
+"""Quality-trajectory regression artifact (VERDICT r3 item 6).
+
+Trains the flagship CapNet config (multiview+normal+height features,
+top-down decoder, 2-step relational graph, 256 proposals over 40k points —
+/root/reference/slurm/train.job:24) on synthetic scenes and records the
+quality curve every ``--eval_every`` steps:
+
+  * detection mAP@0.25 on a HELD-OUT synthetic batch (geometry generalizes);
+  * caption CiDEr on the TRAINING scenes (synthetic captions are random
+    token sequences, so held-out caption quality is unlearnable by
+    construction — the memorization curve is the signal: a silent
+    quality regression in the caption/attention path flattens it, exactly
+    the failure mode the bf16 study measured in detection).
+
+The resulting JSON curve is checked into docs/measurements/ and a loose
+pinned bound on it is asserted by tests/test_quality_trajectory.py, so perf
+work cannot silently trade away training quality (TPU_DESIGN §8: such
+regressions are invisible to op-level parity tests and COMPOUND).
+
+The flagship feature channels beyond xyz are zero for synthetic scenes
+except height, so the staging path uploads only xyz + height + vote labels
+and assembles the zero channels ON DEVICE (this host's tunnel is
+~1.6 MB/s; the full 135-channel cloud would be ~170 MB/batch).
+
+Run (TPU): python scripts/quality_trajectory.py \
+    --out docs/measurements/r4/quality_trajectory.json
+Tiny (CPU, the slow-test config): add --tiny --steps 200 --eval_every 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--eval_every", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_batches", type=int, default=4,
+                   help="distinct synthetic batches cycled during training")
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", type=str, default="")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU-sized config for the regression test")
+    return p.parse_args()
+
+
+def make_config(args):
+    from scan2cap_tpu.config import Config, ModelConfig
+
+    if args.tiny:
+        mcfg = ModelConfig(
+            num_points=min(args.num_points, 1024), num_proposals=32,
+            sa_npoints=(256, 128, 64, 32), max_num_obj=8, num_locals=4,
+            num_graph_steps=2, use_topdown=True, use_relation=True,
+            use_orientation=True, min_iou=-1.0)
+    else:
+        mcfg = ModelConfig(
+            num_points=args.num_points, num_graph_steps=2, num_locals=10,
+            use_topdown=True, use_relation=True, use_orientation=True,
+            use_normal=True, use_multiview=True, min_iou=-1.0)
+    return Config(model=mcfg)
+
+
+def stage_batch(host_batch, mcfg, import_jnp):
+    """Place a synthetic host batch on device, assembling the all-zero
+    feature channels (color/normal/multiview) there instead of uploading
+    them — only xyz, height, votes and the small labels cross the tunnel."""
+    jnp = import_jnp
+    out = {}
+    pc = host_batch["point_clouds"]
+    height_ch = (3 + 3 * mcfg.use_color + 3 * mcfg.use_normal
+                 + 128 * mcfg.use_multiview)
+    n_zero = pc.shape[-1] - 4  # channels between xyz and height
+    xyz = jnp.asarray(np.ascontiguousarray(pc[..., :3]))
+    if mcfg.use_height and n_zero >= 0:
+        height = jnp.asarray(np.ascontiguousarray(pc[..., height_ch]))
+        zeros = jnp.zeros(pc.shape[:-1] + (n_zero,), jnp.float32)
+        out["point_clouds"] = jnp.concatenate(
+            [xyz, zeros, height[..., None]], axis=-1)
+    else:
+        out["point_clouds"] = jnp.asarray(pc)
+    for k, v in host_batch.items():
+        if k != "point_clouds":
+            out[k] = jnp.asarray(v)
+    return out
+
+
+def main():
+    import jax
+
+    # env var alone does not beat an installed TPU plugin's platform
+    # selection on this host (tests/conftest.py) — pin through the config
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.eval.ap_helper import (
+        APCalculator, assemble_pred_map_cls, parse_groundtruths,
+        parse_predictions_device)
+    from scan2cap_tpu.eval.capeval import Cider
+    from scan2cap_tpu.eval.eval_helper import (decode_caption,
+                                               postprocess_scene_cap)
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.train import (create_train_state, make_eval_step,
+                                    make_train_step)
+
+    args = parse_args()
+    cfg = make_config(args)
+    mcfg = cfg.model
+    vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
+    idx2word = vocab["idx2word"]
+
+    print(f"building {args.num_batches}+1 synthetic batches "
+          f"(N={mcfg.num_points}, B={args.batch_size})...", flush=True)
+    host_batches = [make_scene_batch(mcfg, batch_size=args.batch_size,
+                                     num_objects=6, vocab=vocab, seed=s)
+                    for s in range(args.num_batches + 1)]
+    t0 = time.time()
+    jbatches = [stage_batch(b, mcfg, jnp) for b in host_batches]
+    jax.block_until_ready(jbatches)
+    print(f"staged in {time.time() - t0:.0f}s", flush=True)
+
+    model = CapNet(mcfg, num_vocabs=128)
+    state = create_train_state(cfg, model, jbatches[0],
+                               jax.random.PRNGKey(args.seed))
+    step = make_train_step(cfg, model, detection=True, caption=True,
+                           orientation=True, donate=False)
+    eval_step = make_eval_step(cfg, model)
+    # caption gate at IoU 0.25 (vs the benchmark's 0.5): the trajectory
+    # scores only ~32 synthetic scenes, and at 0.5 a handful of borderline
+    # boxes flipping across the gate makes the CiDEr curve useless as a
+    # regression signal (measured: 4.77 -> 0.04 between adjacent evals)
+    post_fn = jax.jit(
+        lambda out, batch: postprocess_scene_cap(out, batch, min_iou=0.25))
+    lr = jnp.asarray(args.lr)
+    mom = jnp.asarray(0.1)
+
+    def eval_detection(jb, hb):
+        out = eval_step(state, jb)
+        parsed = jax.device_get(parse_predictions_device(
+            {**out, "point_clouds": jb["point_clouds"]}))
+        preds = assemble_pred_map_cls(np.asarray(out["bbox_corner"]), parsed)
+        calc = APCalculator(0.25)
+        calc.step(preds, parse_groundtruths(hb))
+        m = calc.compute_metrics()
+        return float(m["mAP"]), float(m["AR"])
+
+    def eval_cider(batch_pairs):
+        """CiDEr of the free-running decode on the TRAINING scenes, scored
+        across ALL train batches at once (one 8-scene batch is far too few
+        candidates for a stable document-frequency-based metric)."""
+        corpus, cands = {}, {}
+        for bi, (jb, hb) in enumerate(batch_pairs):
+            out = eval_step(state, jb)
+            post = post_fn(out, jb)
+            keep = np.asarray(post["keep"])
+            det = np.asarray(post["detected_object_ids"])
+            ious = np.asarray(post["ious"])
+            caps = np.asarray(post["captions"])
+            for b in range(keep.shape[0]):
+                oid = int(hb["object_id"][b])
+                key = f"batch{bi}|scene{b}|{oid}"
+                corpus[key] = [decode_caption(hb["lang_ids"][b], idx2word)]
+                cand, best = "sos eos", -1.0
+                for k in np.where(keep[b])[0]:
+                    if int(det[b, k]) == oid and ious[b, k] > best:
+                        best = float(ious[b, k])
+                        cand = decode_caption(caps[b, k], idx2word)
+                cands[key] = [cand]
+        return float(Cider().compute_score(corpus, cands)[0])
+
+    curve = {"step": [], "loss": [], "cap_loss": [], "cap_acc": [],
+             "map25": [], "ar25": [], "cider_train": []}
+
+    def record(step_i, metrics):
+        m25, ar = eval_detection(jbatches[-1], host_batches[-1])
+        cid = eval_cider(list(zip(jbatches[:-1], host_batches[:-1])))
+        curve["step"].append(step_i)
+        curve["loss"].append(
+            round(float(metrics["loss"]), 4) if metrics else None)
+        curve["cap_loss"].append(
+            round(float(metrics["cap_loss"]), 4) if metrics else None)
+        curve["cap_acc"].append(
+            round(float(metrics["cap_acc"]), 4) if metrics else None)
+        curve["map25"].append(round(m25, 4))
+        curve["ar25"].append(round(ar, 4))
+        curve["cider_train"].append(round(cid, 4))
+        print(f"step {step_i:4d}: loss "
+              f"{curve['loss'][-1]} mAP@0.25 {m25:.4f} AR {ar:.4f} "
+              f"CiDEr(train) {cid:.4f}", flush=True)
+
+    record(0, None)
+    t_train = time.time()
+    metrics = None
+    for i in range(1, args.steps + 1):
+        state, metrics = step(state, jbatches[(i - 1) % args.num_batches],
+                              lr, mom)
+        if i % args.eval_every == 0 or i == args.steps:
+            record(i, metrics)
+    wall = time.time() - t_train
+
+    result = {
+        "config": {"tiny": args.tiny, "num_points": mcfg.num_points,
+                   "num_proposals": mcfg.num_proposals,
+                   "batch_size": args.batch_size, "steps": args.steps,
+                   "num_batches": args.num_batches, "lr": args.lr,
+                   "seed": args.seed,
+                   "flagship": not args.tiny},
+        "platform": jax.devices()[0].platform,
+        "curve": curve,
+        "final": {"map25": curve["map25"][-1], "ar25": curve["ar25"][-1],
+                  "cider_train": curve["cider_train"][-1],
+                  "loss": curve["loss"][-1]},
+        "train_wall_s": round(wall, 1),
+        "train_scenes_per_sec": round(
+            args.steps * args.batch_size / wall, 2),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
