@@ -230,7 +230,11 @@ def main():
     cfg = ModelConfig(
         num_graph_steps=2, num_locals=10, use_topdown=True,
         use_relation=True, use_orientation=True,
-        use_normal=True, use_multiview=True)
+        use_normal=True, use_multiview=True,
+        # A/B knob for the storage-only bf16 experiment (activation buffers
+        # half-width, compute f32); default f32 — flip only for measured,
+        # quality-gated runs
+        storage_dtype=os.environ.get("SCAN2CAP_STORAGE_DTYPE", "float32"))
     in_dim = 3 + cfg.input_feature_dim
     vocab = make_vocab(num_vocabs=NUM_VOCABS, emb_size=cfg.emb_size)
 

@@ -132,6 +132,11 @@ class ModelConfig:
     min_iou: float = 0.25            # CONF.TRAIN.MIN_IOU_THRESHOLD (caption gate)
     # numerics
     compute_dtype: str = "float32"   # bfloat16 for speed on TPU
+    # storage-only narrowing: layer-boundary activation buffers in the
+    # backbone MLPs are stored at this width while ALL matmul/BN compute
+    # stays float32 (the quality-safe half of the bf16 lever; ignored for
+    # modules already narrowed by compute_dtype)
+    storage_dtype: str = "float32"
     # which backbone modules the narrow dtype applies to (bisection knob
     # for the bf16 quality study, TPU_DESIGN §8; ignored at float32)
     bf16_components: str = "sa1,sa2,sa3,sa4,fp"

@@ -80,6 +80,7 @@ class PointnetSAModuleVotes(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = True
     compute_dtype: Optional[str] = None
+    storage_dtype: Optional[str] = None
     # Input xyz/features are autodiff LEAVES (raw data, not activations):
     # enables the scatter-free backward of the gather-lean projection.  Do
     # NOT set on layers fed by earlier layers (their feature grads would be
@@ -102,7 +103,7 @@ class PointnetSAModuleVotes(nn.Module):
         if self.compute_dtype is not None and features is not None:
             feats_in = features.astype(jnp.dtype(self.compute_dtype))
         mlp_mod = SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
-                            name="mlp")
+                            storage_dtype=self.storage_dtype, name="mlp")
 
         in_width = 3 + (features.shape[-1] if features is not None else 0)
         # fast path requires a bias-free layer 0 (bn=True) so the linear
@@ -151,6 +152,11 @@ class PointnetSAModuleVotes(nn.Module):
             if self.compute_dtype is not None:
                 # relative-scale values only from here on: safe to narrow
                 g = g.astype(jnp.dtype(self.compute_dtype))
+            elif self.storage_dtype is not None:
+                # storage-only narrowing: the (B,M,S,w0) pre-activation buffer
+                # (the largest activation of the whole model at sa1) is stored
+                # half-width; BN/matmul compute stays f32
+                g = g.astype(jnp.dtype(self.storage_dtype))
             out = mlp_mod.from_first(g, train, bn_momentum)
         else:
             grouped = query_and_group(
@@ -161,6 +167,8 @@ class PointnetSAModuleVotes(nn.Module):
             # the gather, autodiff never generates the scatter backward)
             if self.compute_dtype is not None:
                 grouped = grouped.astype(jnp.dtype(self.compute_dtype))
+            elif self.storage_dtype is not None:
+                grouped = grouped.astype(jnp.dtype(self.storage_dtype))
             out = mlp_mod(grouped, train, bn_momentum)
         new_features = jnp.max(out, axis=2)   # (B, npoint, mlp[-1])
         return new_xyz, new_features, inds
@@ -171,6 +179,7 @@ class PointnetFPModule(nn.Module):
 
     mlp: Sequence[int]
     compute_dtype: Optional[str] = None
+    storage_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -190,6 +199,7 @@ class PointnetFPModule(nn.Module):
         else:
             new_features = interpolated
         return SharedMLP(self.mlp, compute_dtype=self.compute_dtype,
+                         storage_dtype=self.storage_dtype,
                          name="mlp")(new_features, train, bn_momentum)
 
 
@@ -199,6 +209,11 @@ class Pointnet2Backbone(nn.Module):
     input_feature_dim: int = 0
     sa_npoints: Tuple[int, int, int, int] = (2048, 1024, 512, 256)
     compute_dtype: Optional[str] = None
+    # storage-only narrowing (layer-boundary activation buffers half-width,
+    # all matmul/BN compute f32) — the quality-safe half of the bf16 lever;
+    # gated by the same bf16_components set.  Ignored where compute_dtype
+    # applies (compute narrowing subsumes it).
+    storage_dtype: Optional[str] = None
     # per-module gate for the narrow dtype ("sa1,...,fp"): the bf16 quality
     # bisection (TPU_DESIGN §8) narrows one module group at a time
     bf16_components: str = "sa1,sa2,sa3,sa4,fp"
@@ -213,6 +228,8 @@ class Pointnet2Backbone(nn.Module):
         comps = {c.strip() for c in self.bf16_components.split(",")}
         dt = {k: (self.compute_dtype if k in comps else None)
               for k in ("sa1", "sa2", "sa3", "sa4", "fp")}
+        st = {k: (self.storage_dtype if k in comps else None)
+              for k in ("sa1", "sa2", "sa3", "sa4", "fp")}
 
         d = dict(data_dict)
         np1, np2, np3, np4 = self.sa_npoints
@@ -220,30 +237,32 @@ class Pointnet2Backbone(nn.Module):
         # sa1's xyz/features come straight from the input cloud (autodiff
         # leaves) — safe to drop their gradients for the scatter-free backward
         xyz, features, inds = PointnetSAModuleVotes(
-            np1, 0.2, 64, (64, 64, 128), compute_dtype=dt["sa1"],
+            np1, 0.2, 64, (64, 64, 128), compute_dtype=dt["sa1"], storage_dtype=st["sa1"],
             leaf_inputs=True, name="sa1")(
                 xyz, features, None, train, bn_momentum)
         d["sa1_inds"], d["sa1_xyz"], d["sa1_features"] = inds, xyz, features
 
         xyz, features, inds = PointnetSAModuleVotes(
-            np2, 0.4, 32, (128, 128, 256), compute_dtype=dt["sa2"], name="sa2")(
+            np2, 0.4, 32, (128, 128, 256), compute_dtype=dt["sa2"], storage_dtype=st["sa2"], name="sa2")(
                 xyz, features, None, train, bn_momentum)
         d["sa2_inds"], d["sa2_xyz"], d["sa2_features"] = inds, xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np3, 0.8, 16, (128, 128, 256), compute_dtype=dt["sa3"], name="sa3")(
+            np3, 0.8, 16, (128, 128, 256), compute_dtype=dt["sa3"], storage_dtype=st["sa3"], name="sa3")(
                 xyz, features, None, train, bn_momentum)
         d["sa3_xyz"], d["sa3_features"] = xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np4, 1.2, 16, (128, 128, 256), compute_dtype=dt["sa4"], name="sa4")(
+            np4, 1.2, 16, (128, 128, 256), compute_dtype=dt["sa4"], storage_dtype=st["sa4"], name="sa4")(
                 xyz, features, None, train, bn_momentum)
         d["sa4_xyz"], d["sa4_features"] = xyz, features
 
-        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"], name="fp1")(
+        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"],
+            storage_dtype=st["fp"], name="fp1")(
             d["sa3_xyz"], d["sa4_xyz"], d["sa3_features"], d["sa4_features"],
             train, bn_momentum)
-        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"], name="fp2")(
+        features = PointnetFPModule((256, 256), compute_dtype=dt["fp"],
+            storage_dtype=st["fp"], name="fp2")(
             d["sa2_xyz"], d["sa3_xyz"], d["sa2_features"], features,
             train, bn_momentum)
 

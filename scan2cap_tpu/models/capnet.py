@@ -39,8 +39,11 @@ class CapNet(nn.Module):
         # --------- detection branch ---------
         compute_dtype = (None if cfg.compute_dtype == "float32"
                          else cfg.compute_dtype)
+        storage_dtype = (None if getattr(cfg, "storage_dtype", "float32")
+                         == "float32" else cfg.storage_dtype)
         d = Pointnet2Backbone(cfg.input_feature_dim, cfg.sa_npoints,
                               compute_dtype,
+                              storage_dtype=storage_dtype,
                               bf16_components=cfg.bf16_components,
                               name="backbone_net")(
             data_dict, train, bn_momentum)

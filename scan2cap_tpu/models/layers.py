@@ -60,12 +60,23 @@ class SharedMLP(nn.Module):
     ``compute_dtype``: matmul compute precision — params stay float32; with
     bfloat16 the activations ride the MXU's native input width (BN still
     normalizes in float32 inside).
+
+    ``storage_dtype``: inter-layer ACTIVATION buffer width only — matmuls
+    and params stay float32; each layer's post-activation output is cast
+    narrow, so the XLA fusion boundary materializes a half-width buffer
+    (and the residuals the backward saves follow it).  Targets the
+    HBM-bound BN/MLP chain over the (B,M,S,C) grouped activations without
+    the bf16-COMPUTE quality collapse (TPU_DESIGN §8: f32 weights, f32
+    matmul passes; only the layer-boundary rounding is paid).  The final
+    output is cast back to float32.  Ignored when compute_dtype is set
+    (compute narrowing subsumes it).
     """
 
     features: Sequence[int]
     bn: bool = True
     activation: bool = True  # relu after every layer (reference behavior)
     compute_dtype: Optional[str] = None
+    storage_dtype: Optional[str] = None
 
     def setup(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
@@ -87,13 +98,24 @@ class SharedMLP(nn.Module):
             x = self.bns[i](x, train, bn_momentum)
         if self.activation:
             x = nn.relu(x)
+        if (self.storage_dtype and not self.compute_dtype
+                and i < len(self.features) - 1):
+            # narrow only the INTER-layer buffer; the next Dense (dtype=None)
+            # promotes back to f32 against its f32 params, so the matmul
+            # itself stays full-precision
+            x = x.astype(jnp.dtype(self.storage_dtype))
+        return x
+
+    def _finish(self, x: jax.Array) -> jax.Array:
+        if self.storage_dtype and not self.compute_dtype:
+            x = x.astype(jnp.float32)
         return x
 
     def __call__(self, x: jax.Array, train: bool = True,
                  bn_momentum: jax.Array | float = 0.1) -> jax.Array:
         for i in range(len(self.features)):
             x = self._post(self.denses[i](x), i, train, bn_momentum)
-        return x
+        return self._finish(x)
 
     def project_first(self, x: jax.Array) -> jax.Array:
         """Layer-0 linear only (no BN/ReLU).  With bn=True it is bias-free,
@@ -111,7 +133,7 @@ class SharedMLP(nn.Module):
         x = self._post(x, 0, train, bn_momentum)
         for i in range(1, len(self.features)):
             x = self._post(self.denses[i](x), i, train, bn_momentum)
-        return x
+        return self._finish(x)
 
 
 class GRUCell(nn.Module):

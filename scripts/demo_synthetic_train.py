@@ -37,6 +37,10 @@ def parse_args():
                    default="sa1,sa2,sa3,sa4,fp",
                    help="with --bf16: which backbone modules narrow "
                         "(bisection knob, TPU_DESIGN §8)")
+    p.add_argument("--bf16_storage", action="store_true",
+                   help="storage-only bfloat16: layer-boundary activation "
+                        "buffers half-width, all matmul/BN compute f32 "
+                        "(gated by --bf16_components; subsumed by --bf16)")
     return p.parse_args()
 
 
@@ -56,6 +60,8 @@ def main():
     mcfg = ModelConfig(num_points=args.num_points,
                        no_caption=not args.caption, min_iou=-1.0,
                        compute_dtype="bfloat16" if args.bf16 else "float32",
+                       storage_dtype=("bfloat16" if args.bf16_storage
+                                      else "float32"),
                        bf16_components=args.bf16_components)
     cfg = Config(model=mcfg)
     vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)

@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--out", type=str, default="")
     p.add_argument("--tiny", action="store_true",
                    help="CPU-sized config for the regression test")
+    p.add_argument("--bf16_storage", action="store_true",
+                   help="storage-only bfloat16 backbone buffers (quality "
+                        "gate for the storage-dtype experiment)")
     return p.parse_args()
 
 
@@ -70,6 +73,8 @@ def make_config(args):
             num_points=args.num_points, num_graph_steps=2, num_locals=10,
             use_topdown=True, use_relation=True, use_orientation=True,
             use_normal=True, use_multiview=True, min_iou=-1.0)
+    if args.bf16_storage:
+        mcfg = ModelConfig(**{**mcfg.__dict__, "storage_dtype": "bfloat16"})
     return Config(model=mcfg)
 
 

@@ -278,3 +278,64 @@ def test_bf16_components_gate(rng):
                               np.asarray(part["sa2_features"]))
     assert not np.array_equal(np.asarray(f32["fp2_features"]),
                               np.asarray(part["fp2_features"]))
+
+
+def test_storage_dtype_narrows_buffers_not_compute(rng):
+    # storage_dtype=bfloat16 rounds ONLY the layer-boundary activation
+    # buffers: sampling/grouping geometry is bit-identical to f32, matmul
+    # and BN compute stay f32 (params + running stats f32), and the output
+    # stays MUCH closer to f32 than the compute-narrowed path because the
+    # only error source is per-boundary rounding of O(1) activations
+    from scan2cap_tpu.models.backbone import PointnetSAModuleVotes
+
+    B, N, C, M, S, R = 2, 500, 40, 64, 16, 0.3
+    xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    outs = {}
+    for st in (None, "bfloat16"):
+        mod = PointnetSAModuleVotes(M, R, S, (32, 32, 64), storage_dtype=st)
+        v = mod.init(jax.random.PRNGKey(0), xyz, feats, None, False, 0.1)
+        for leaf in jax.tree_util.tree_leaves(v):
+            assert leaf.dtype == jnp.float32
+        new_xyz, nf, inds = mod.apply(v, xyz, feats, None, False, 0.1)
+        assert nf.dtype == jnp.float32  # final output cast back wide
+        outs[st] = (np.asarray(new_xyz), np.asarray(nf), np.asarray(inds))
+
+    np.testing.assert_array_equal(outs[None][2], outs["bfloat16"][2])
+    np.testing.assert_array_equal(outs[None][0], outs["bfloat16"][0])
+    ref, got = outs[None][1], outs["bfloat16"][1]
+    assert not np.array_equal(got, ref)  # the narrowing is real
+    np.testing.assert_allclose(got, ref, atol=0.02, rtol=0.02)
+    assert np.mean(np.abs(got - ref)) < 2e-3
+
+
+def test_storage_dtype_components_gate(rng):
+    # storage_dtype shares the bf16_components gate: excluded modules stay
+    # bit-identical to the all-f32 backbone
+    from scan2cap_tpu.models.backbone import Pointnet2Backbone
+
+    B, N = 2, 512
+    pc = jnp.asarray(np.concatenate(
+        [rng.uniform(-2, 2, (B, N, 3)), rng.randn(B, N, 1)],
+        axis=-1).astype(np.float32))
+    d = {"point_clouds": pc}
+    sa_np = (128, 64, 32, 16)
+
+    def run(st, comps):
+        m = Pointnet2Backbone(1, sa_np, None, storage_dtype=st,
+                              bf16_components=comps)
+        v = jax.jit(m.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), d, train=False)
+        return jax.jit(m.apply, static_argnames=("train",))(
+            v, d, train=False)
+
+    f32 = run(None, "sa1,sa2,sa3,sa4,fp")
+    part = run("bfloat16", "sa2,sa3,sa4,fp")       # sa1 stays f32
+
+    np.testing.assert_array_equal(np.asarray(f32["sa1_features"]),
+                                  np.asarray(part["sa1_features"]))
+    assert not np.array_equal(np.asarray(f32["sa2_features"]),
+                              np.asarray(part["sa2_features"]))
+    # outputs are f32 throughout (storage casts are internal)
+    assert part["fp2_features"].dtype == jnp.float32
