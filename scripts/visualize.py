@@ -80,7 +80,10 @@ def visualize(args):
         {"params": state.params, "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
-    out = make_eval_step(cfg, model, detection_loss=False)(state, batch)
+    # detection_loss=True: the per-object box PLYs are named/colored by the
+    # ASSIGNED GT object id (reference visualize.py:375), which comes from
+    # the detection loss's object_assignment
+    out = make_eval_step(cfg, model, detection_loss=True)(state, batch)
 
     obj_prob = jax.nn.softmax(out["objectness_scores"], -1)[..., 1]
     cls = jnp.argmax(out["sem_cls_scores"], -1)
@@ -99,14 +102,29 @@ def visualize(args):
            np.full((len(pc), 3), 180, np.uint8))
     write_ply(os.path.join(out_dir, "scene.ply"), pc[:, :3], rgb)
 
-    # predicted + GT boxes
+    # predicted + GT boxes (merged clouds, plus the reference's per-object
+    # PLYs colored by the NYU40 palette indexed object_id % 40 —
+    # scripts/visualize.py:365-401, byte-identical colors)
+    from scan2cap_tpu.utils.colors import object_color
+
+    det_ids = np.asarray(sample["scene_object_ids"])
     if keep.any():
         write_bbox_ply(os.path.join(out_dir, "pred_boxes.ply"),
                        corners[keep], color=(0, 255, 0))
+        assignment = np.asarray(out["object_assignment"][0]).astype(int)
+        for k in np.where(keep)[0]:
+            oid = int(det_ids[assignment[k]])
+            write_bbox_ply(
+                os.path.join(out_dir, f"pred-{oid}.ply"),
+                corners[k][None], color=object_color(oid))
     gt_mask = np.asarray(sample["gt_box_masks"]) == 1
+    gt_corners = np.asarray(sample["gt_box_corner_label"])
     write_bbox_ply(os.path.join(out_dir, "gt_boxes.ply"),
-                   np.asarray(sample["gt_box_corner_label"])[gt_mask],
-                   color=(0, 0, 255))
+                   gt_corners[gt_mask], color=(0, 0, 255))
+    for i in np.where(gt_mask)[0]:
+        oid = int(np.asarray(sample["gt_box_object_ids"])[i])
+        write_bbox_ply(os.path.join(out_dir, f"gt-{oid}.ply"),
+                       gt_corners[i][None], color=object_color(oid))
 
     captions = {
         str(int(k)): decode_caption(caps[k], ds.vocabulary["idx2word"])

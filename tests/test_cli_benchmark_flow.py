@@ -108,3 +108,7 @@ def test_full_benchmark_flow(cli_data):
     names = {p.name for p in vis_dir.iterdir()}
     # pred_boxes.ply only appears when a proposal survives NMS∧objectness
     assert {"scene.ply", "gt_boxes.ply", "captions.json"} <= names, names
+    # per-object GT box PLYs colored by the NYU40 palette
+    # (reference scripts/visualize.py:393-401 + scripts/colors.py)
+    assert any(n.startswith("gt-") and n.endswith(".ply")
+               for n in names), names
