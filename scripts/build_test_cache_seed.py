@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Rebuild the checked-in compile-cache seed for the test suite.
+
+The suite's cold-cache wall clock on a 1-vCPU host is dominated by XLA:CPU
+compiles (~7.4 min of the ~12.7 min cold run, TPU_DESIGN §11).  The conftest
+extracts `tests/fixtures/compile_cache_seed.tar.gz` into the persistent
+compilation cache directory on first run so a fresh clone starts warm; this
+script regenerates that tarball after changes that alter compiled programs
+(model shapes, jit signatures, jax upgrades — stale entries are harmless
+misses, but the seed stops helping until rebuilt).
+
+Usage:
+    python scripts/build_test_cache_seed.py            # full rebuild
+    python scripts/build_test_cache_seed.py --no-run   # tar the current cache
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tarfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "scan2cap_tpu_jax_testcache")
+SEED = os.path.join(REPO, "tests", "fixtures", "compile_cache_seed.tar.gz")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-run", action="store_true",
+                    help="skip the suite run; tar the cache as-is")
+    args = ap.parse_args()
+
+    if not args.no_run:
+        # start truly cold so the tar holds exactly the suite's programs
+        shutil.rmtree(CACHE, ignore_errors=True)
+        # remove the old seed so the conftest doesn't re-extract it
+        if os.path.exists(SEED):
+            os.remove(SEED)
+        rc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-x",
+             "-m", "not slow"], cwd=REPO).returncode
+        if rc != 0:
+            sys.exit(f"suite failed (rc={rc}); not updating the seed")
+
+    entries = sorted(os.listdir(CACHE)) if os.path.isdir(CACHE) else []
+    if not entries:
+        sys.exit("compilation cache is empty; nothing to seed")
+    os.makedirs(os.path.dirname(SEED), exist_ok=True)
+    # mtime/owner pinned so the tarball is byte-stable across rebuilds with
+    # unchanged cache contents (keeps the git diff honest)
+    with tarfile.open(SEED, "w:gz", compresslevel=9) as tf:
+        for name in entries:
+            tf.add(os.path.join(CACHE, name), arcname=name,
+                   filter=lambda ti: ti.replace(
+                       mtime=0, uid=0, gid=0, uname="", gname=""))
+    print(f"seed: {len(entries)} entries, "
+          f"{os.path.getsize(SEED) / 1e6:.1f} MB -> {SEED}")
+
+
+if __name__ == "__main__":
+    main()
