@@ -50,12 +50,19 @@ def main():
         sys.exit("compilation cache is empty; nothing to seed")
     os.makedirs(os.path.dirname(SEED), exist_ok=True)
     # mtime/owner pinned so the tarball is byte-stable across rebuilds with
-    # unchanged cache contents (keeps the git diff honest)
+    # unchanged cache contents (keeps the git diff honest).  Mutate the
+    # TarInfo in place: TarInfo.replace() deepcopies, and on py3.12 the
+    # TarInfo carries a reference to the open TarFile's BufferedWriter,
+    # which cannot be pickled.
+    def _pin(ti):
+        ti.mtime = 0
+        ti.uid = ti.gid = 0
+        ti.uname = ti.gname = ""
+        return ti
+
     with tarfile.open(SEED, "w:gz", compresslevel=9) as tf:
         for name in entries:
-            tf.add(os.path.join(CACHE, name), arcname=name,
-                   filter=lambda ti: ti.replace(
-                       mtime=0, uid=0, gid=0, uname="", gname=""))
+            tf.add(os.path.join(CACHE, name), arcname=name, filter=_pin)
     print(f"seed: {len(entries)} entries, "
           f"{os.path.getsize(SEED) / 1e6:.1f} MB -> {SEED}")
 
