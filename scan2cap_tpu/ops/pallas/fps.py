@@ -54,8 +54,36 @@ def _group_scan(v: jax.Array, r8: jax.Array, op, unit) -> jax.Array:
     return op(pre, suf)   # both include self; op must be idempotent on self
 
 
+def _pair_combine(m1, c1, m2, c2):
+    """Argmax-combine for (score, index) pairs: larger score wins, equal
+    scores tie-break to the smaller index (the CUDA scan-order rule)."""
+    take2 = m2 > m1
+    tie = m2 == m1
+    m = jnp.maximum(m1, m2)
+    c = jnp.where(take2, c2, jnp.where(tie, jnp.minimum(c1, c2), c1))
+    return m, c
+
+
+def _pair_group_scan(m: jax.Array, c: jax.Array, r8: jax.Array,
+                     big: jax.Array):
+    """One masked Hillis-Steele all-reduce carrying (max score, tie-min
+    index) pairs over each aligned 8-row group — the two-stage
+    max-scan → candidate-mask → min-scan chain collapsed to a single
+    scan stage (self-idempotent: max/min on self are no-ops)."""
+    neg = jnp.float32(-jnp.inf)
+    prem, prec, sufm, sufc = m, c, m, c
+    for k in (1, 2, 4):
+        rm = jnp.where(r8 >= k, _roll_rows(prem, k), neg)
+        rc = jnp.where(r8 >= k, _roll_rows(prec, k), big)
+        prem, prec = _pair_combine(prem, prec, rm, rc)
+        rm = jnp.where(r8 < _ROWS - k, _roll_rows(sufm, -k), neg)
+        rc = jnp.where(r8 < _ROWS - k, _roll_rows(sufc, -k), big)
+        sufm, sufc = _pair_combine(sufm, sufc, rm, rc)
+    return _pair_combine(prem, prec, sufm, sufc)
+
+
 def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
-                fold_valid: bool = True):
+                fold_valid: bool = True, pair_argmax: bool = False):
     """xyz_ref: (1, 3*R, cols) VMEM — rows [0:R)=x, [R:2R)=y, [2R:3R)=z,
     where R = _ROWS*_SCENES and scene s owns sublane rows [8s, 8s+8);
     out_ref: (1, R, npad) int32 (per-scene value broadcast across its 8
@@ -102,10 +130,21 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
         temp_ref[:] = t
         score = t if fold_valid else jnp.where(valid, t, -1.0)
         m_col = jnp.max(score, axis=1, keepdims=True)            # (R, 1)
-        m = _group_scan(m_col, r8, jnp.maximum, jnp.float32(-jnp.inf))
-        cand = jnp.min(jnp.where(score == m, orig, BIG),
-                       axis=1, keepdims=True)                    # (R, 1)
-        nxt_row = _group_scan(cand, r8, jnp.minimum, BIG)        # (R, 1)
+        if pair_argmax:
+            # candidate masking against the ROW max (not the group max):
+            # the full-tile where(score==m)+min pass no longer waits on a
+            # cross-row scan, and the max-scan + min-scan pair collapses
+            # into ONE (score, index) scan — two fewer dependent stages in
+            # the per-iteration latency chain.  Rows whose max loses the
+            # group combine carry a candidate that _pair_combine discards.
+            cand_row = jnp.min(jnp.where(score == m_col, orig, BIG),
+                               axis=1, keepdims=True)            # (R, 1)
+            _, nxt_row = _pair_group_scan(m_col, cand_row, r8, BIG)
+        else:
+            m = _group_scan(m_col, r8, jnp.maximum, jnp.float32(-jnp.inf))
+            cand = jnp.min(jnp.where(score == m, orig, BIG),
+                           axis=1, keepdims=True)                # (R, 1)
+            nxt_row = _group_scan(cand, r8, jnp.minimum, BIG)    # (R, 1)
         # Mosaic has no dynamic single-lane stores: collect 128 slots in a
         # small staging tile, flush at lane-aligned window boundaries
         stage = jnp.where(lane == j % 128, nxt_row, stage)
@@ -128,13 +167,18 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("npoint", "interpret", "fold_valid"))
+                   static_argnames=("npoint", "interpret", "fold_valid",
+                                    "pair_argmax"))
 def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
                                  interpret: bool = False,
-                                 fold_valid: bool = True) -> jax.Array:
+                                 fold_valid: bool = True,
+                                 pair_argmax: bool = True) -> jax.Array:
     """(B, N, 3) -> (B, npoint) int32; up to 8 scenes per program.
     ``fold_valid=False`` selects the pre-tuning two-pass kernel variant
-    (identical results) so scripts/micro_fps.py can A/B both in-process."""
+    (identical results) so scripts/micro_fps.py can A/B both in-process;
+    ``pair_argmax=False`` selects the two-scan argmax chain it replaced
+    (identical results; kept for the on-device A/B — the pair scan
+    measured +3.7% on the fold variant, 12.60->12.15 ms at B=16)."""
     B, N, _ = xyz.shape
     cb = min(B, _SCENES)
     R = _ROWS * cb
@@ -151,7 +195,8 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     xyz_t = xyz_t.reshape(G, 3 * R, cols)
 
     kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N,
-                               fold_valid=fold_valid)
+                               fold_valid=fold_valid,
+                               pair_argmax=pair_argmax)
     out = pl.pallas_call(
         kernel,
         grid=(G,),

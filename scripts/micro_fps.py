@@ -46,21 +46,26 @@ def main():
         lambda k: jax.random.uniform(k, (B, N, 3), minval=-4.0, maxval=4.0)
     )(key))
 
-    def rep(fold):
+    def rep(fold, pair=False):
         def fn(salt):
             def step(acc, i):
                 idx = furthest_point_sample_pallas(
-                    xyz + (acc + salt + i) * 1e-12, M, fold_valid=fold)
+                    xyz + (acc + salt + i) * 1e-12, M, fold_valid=fold,
+                    pair_argmax=pair)
                 return jnp.float32(jnp.sum(idx % 128)), None
             acc, _ = jax.lax.scan(step, jnp.float32(0),
                                   jnp.arange(REP, dtype=jnp.float32))
             return acc
         return fn
 
-    # parity first (same inputs, both variants, on hardware)
-    a = np.asarray(furthest_point_sample_pallas(xyz, M, fold_valid=True))
-    b = np.asarray(furthest_point_sample_pallas(xyz, M, fold_valid=False))
+    # parity first (same inputs, all variants, on hardware)
+    a = np.asarray(furthest_point_sample_pallas(
+        xyz, M, fold_valid=True, pair_argmax=False))
+    b = np.asarray(furthest_point_sample_pallas(
+        xyz, M, fold_valid=False, pair_argmax=False))
     assert (a == b).all(), "fold_valid variants disagree on device!"
+    c = np.asarray(furthest_point_sample_pallas(xyz, M))  # shipped default
+    assert (a == c).all(), "pair_argmax variant disagrees on device!"
     print("variant parity: exact")
 
     t_old = timed(rep(False))
@@ -68,6 +73,9 @@ def main():
     t_new = timed(rep(True))
     print(f"validity-fold (tuned):  {t_new:7.2f} ms  "
           f"({(t_old / t_new - 1) * 100:+.1f}%)")
+    t_pair = timed(rep(True, pair=True))
+    print(f"fold + pair-scan:       {t_pair:7.2f} ms  "
+          f"({(t_new / t_pair - 1) * 100:+.1f}% vs fold)")
 
 
 if __name__ == "__main__":

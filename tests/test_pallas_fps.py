@@ -52,6 +52,25 @@ def test_pallas_fps_fold_valid_variants_agree(rng):
     np.testing.assert_array_equal(a, want)
 
 
+def test_pallas_fps_pair_argmax_variant_agrees(rng):
+    # pair_argmax=True collapses the max-scan -> mask -> min-scan chain to
+    # one (score, index) scan; must be bit-identical, incl. tie-breaks and
+    # the all-invalid-scene path (scripts/micro_fps.py A/Bs it on device)
+    xyz = rng.randn(3, 700, 3).astype(np.float32)
+    xyz[1, 400:] = 0.0
+    xyz[2] = 0.0  # all-invalid scene
+    # quantized coords force genuine score ties across rows of a group
+    xyz[0] = np.round(xyz[0] * 2.0) / 2.0
+    a = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, pair_argmax=True))
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 48))
+    np.testing.assert_array_equal(a, want)
+    b = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, pair_argmax=True,
+        fold_valid=False))
+    np.testing.assert_array_equal(b, want)
+
+
 def test_pallas_fps_multi_program(rng):
     # B > 8 exercises the multi-scene grid (8 scenes/program, 2 programs)
     xyz = rng.randn(10, 1100, 3).astype(np.float32)
