@@ -5,13 +5,15 @@ Two backends:
     protocol the reference uses (lib/capeval/meteor/meteor.py:15-45);
     used automatically when a jar path is supplied/found.
   * ``Meteor`` (default) — pure-Python METEOR with exact + Porter-stem
-    (+ WordNet-synonym, when the nltk wordnet corpus is installed) matching
+    (+ WordNet-synonym, when the nltk wordnet corpus is installed;
+    + paraphrase, when a table is supplied — see paraphrase.py) matching
     stages and the standard parameters (alpha=0.9, beta=3, gamma=0.5;
     Banerjee & Lavie / Denkowski & Lavie).  Without WordNet data the
-    synonym and paraphrase stages are absent, so absolute values run
-    slightly lower than meteor-1.5 (fewer matches can only lower the
-    F-mean) — the relative ordering is preserved.  Multiple references:
-    max over references.
+    synonym stage falls back to the curated domain table, and without a
+    paraphrase file that stage is absent, so absolute values run slightly
+    lower than meteor-1.5 (fewer matches can only lower the F-mean) — the
+    relative ordering is preserved.  Multiple references: max over
+    references.
 
 Which stages scored a run is exposed as ``METEOR_BACKEND`` / the scorer's
 ``.backend`` attribute and recorded by every metrics consumer — scores
@@ -56,9 +58,33 @@ except Exception:
 _USE_DOMSYN = (not _HAS_WORDNET
                and not os.environ.get("SCAN2CAP_METEOR_NO_DOMSYN"))
 
+# meteor-1.5's fourth matcher (phrase paraphrases) is FILE-GATED: the table
+# ships inside the jar and can't be vendored offline, but supplying one via
+# $SCAN2CAP_METEOR_PARAPHRASE (or paraphrase-en.gz next to this package)
+# activates the stage — see paraphrase.py for formats and semantics.
+from scan2cap_tpu.eval.capeval import paraphrase as _paraphrase
+
+_PARA_PATH = _paraphrase.default_table_path()
+_PARA_TABLE: Optional["_paraphrase.ParaphraseTable"] = None
+_PARA_LOCK = threading.Lock()
+
+
+def _para_table() -> Optional["_paraphrase.ParaphraseTable"]:
+    global _PARA_TABLE
+    if _PARA_PATH is None:
+        return None
+    if _PARA_TABLE is None:
+        with _PARA_LOCK:
+            if _PARA_TABLE is None:
+                _PARA_TABLE = _paraphrase.ParaphraseTable.load(_PARA_PATH)
+    return _PARA_TABLE
+
+
 METEOR_BACKEND = ("builtin-exact-stem-wordnet" if _HAS_WORDNET
                   else "builtin-exact-stem-domsyn" if _USE_DOMSYN
                   else "builtin-exact-stem")
+if _PARA_PATH is not None:
+    METEOR_BACKEND += "-paraphrase"
 
 # default synonym stage for this process; single_meteor_score accepts an
 # explicit override so A/B studies (scripts/micro_meteor_delta.py) can
@@ -81,14 +107,20 @@ if _HAS_WORDNET:
         return frozenset(s.name() for s in _wn.synsets(w))
 
 
-def _align(hyp: List[str], ref: List[str],
-           syn_stage="auto") -> List[Tuple[int, int]]:
-    """Greedy staged (exact, stem[, synonym]) alignment: each hyp token
-    matches the earliest unmatched ref token.  Per-token keys (stems,
-    synset sets) are computed ONCE per sentence, not per pair.
+def _align(hyp: List[str], ref: List[str], syn_stage="auto",
+           para="auto") -> Tuple[List[Tuple[int, int]], int, int]:
+    """Greedy staged (exact, stem[, synonym][, paraphrase]) alignment:
+    each hyp token matches the earliest unmatched ref token.  Per-token
+    keys (stems, synset sets) are computed ONCE per sentence, not per pair.
     ``syn_stage``: "auto" (process default), "wordnet", "domsyn", None, or
     a callable ``word -> frozenset`` key function (custom synonym table —
-    used by the calibration oracle, capeval/delta_corpus.py)."""
+    used by the calibration oracle, capeval/delta_corpus.py).
+    ``para``: "auto" (the file-gated process default), None, or an explicit
+    ``paraphrase.ParaphraseTable``.
+
+    Returns ``(matches, m_h, m_r)`` — word-level match pairs (for the
+    fragmentation count) plus the matched-word totals on each side, which
+    differ only when a paraphrase pairs spans of different lengths."""
     if syn_stage == "auto":
         syn_stage = _DEFAULT_SYN_STAGE
     matches: List[Tuple[int, int]] = []
@@ -112,12 +144,10 @@ def _align(hyp: List[str], ref: List[str],
     if callable(syn_stage):
         stage([syn_stage(w) for w in hyp], [syn_stage(w) for w in ref],
               overlap)
-        matches.sort()
-        return matches
-    if syn_stage == "wordnet" and not _HAS_WORDNET:
-        raise RuntimeError("wordnet synonym stage requested but the nltk "
-                           "wordnet corpus is not installed")
-    if syn_stage == "wordnet":
+    elif syn_stage == "wordnet":
+        if not _HAS_WORDNET:
+            raise RuntimeError("wordnet synonym stage requested but the "
+                               "nltk wordnet corpus is not installed")
         # meteor-1.5 synonymy: the words share a synset
         stage([_synset_ids(w) for w in hyp], [_synset_ids(w) for w in ref],
               overlap)
@@ -126,8 +156,16 @@ def _align(hyp: List[str], ref: List[str],
         from scan2cap_tpu.eval.capeval.synonyms import synonym_ids
         stage([synonym_ids(w) for w in hyp], [synonym_ids(w) for w in ref],
               overlap)
+    m_h = m_r = len(matches)
+    if para == "auto":
+        para = _para_table()
+    if para is not None:
+        pm, ph, pr = _paraphrase.phrase_stage(hyp, ref, used_h, used_r, para)
+        matches.extend(pm)
+        m_h += ph
+        m_r += pr
     matches.sort()
-    return matches
+    return matches, m_h, m_r
 
 
 def _count_chunks(matches: List[Tuple[int, int]]) -> int:
@@ -140,20 +178,23 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
-def single_meteor_score(ref: str, hyp: str, syn_stage="auto") -> float:
+def single_meteor_score(ref: str, hyp: str, syn_stage="auto",
+                        para="auto") -> float:
     hyp_t = hyp.split()
     ref_t = ref.split()
     if not hyp_t or not ref_t:
         return 0.0
-    matches = _align(hyp_t, ref_t, syn_stage)
-    m = len(matches)
-    if m == 0:
+    matches, m_h, m_r = _align(hyp_t, ref_t, syn_stage, para)
+    if m_h == 0:
         return 0.0
-    precision = m / len(hyp_t)
-    recall = m / len(ref_t)
+    precision = m_h / len(hyp_t)
+    recall = m_r / len(ref_t)
     fmean = (precision * recall) / (ALPHA * precision + (1 - ALPHA) * recall)
     chunks = _count_chunks(matches)
-    frag = chunks / m
+    # fragmentation over the mean matched-word count; m_h == m_r (== the
+    # word-level match count) except when a paraphrase pairs spans of
+    # different lengths, so the word-stage-only score is unchanged
+    frag = chunks / ((m_h + m_r) / 2)
     penalty = GAMMA * frag ** BETA
     return (1 - penalty) * fmean
 
