@@ -49,7 +49,8 @@ BATCH = int(os.environ.get("SCAN2CAP_BENCH_BATCH", "8"))
 # overhead charged to fewer scenes).  The 256-scene cap only holds for
 # BATCH <= 256: above that STEPS clamps to 1 and a single BATCH-scene
 # stage exceeds it, so reject such overrides instead of silently OOMing.
-assert BATCH <= 256, "SCAN2CAP_BENCH_BATCH > 256 exceeds the staging memory cap"
+assert 1 <= BATCH <= 256, \
+    "SCAN2CAP_BENCH_BATCH must be in [1, 256] (staging memory cap)"
 STEPS = max(1, 256 // BATCH)
 TRAIN_BATCH = int(os.environ.get("SCAN2CAP_BENCH_TRAIN_BATCH", "16"))
 TRAIN_SCAN_STEPS = 4

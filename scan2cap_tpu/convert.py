@@ -20,9 +20,14 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
-def _load_state_dict(pth_path: str) -> Dict[str, np.ndarray]:
+def _load_state_dict(pth) -> Dict[str, np.ndarray]:
+    """Load a ``.pth`` path — or pass through an already-loaded dict, so
+    callers that probe the keys first (scripts/eval.py's caption-vs-
+    detection sniff) don't deserialize a multi-hundred-MB file twice."""
+    if isinstance(pth, dict):
+        return pth
     import torch
-    sd = torch.load(pth_path, map_location="cpu")
+    sd = torch.load(pth, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: v.numpy() for k, v in sd.items()

@@ -407,20 +407,27 @@ class DenseCapAPCalculator:
             self.gt_map[self.scan_cnt] = g
             self.scan_cnt += 1
 
-    def compute_metrics(self) -> Dict:
-        aps, cache = [], None
+    def compute_metrics(self, cache=None) -> Dict:
+        # the per-detection (ious, meteors) cache is threshold-INDEPENDENT
+        # (sorted by confidence over the same pred/gt maps), so one build
+        # serves every grid cell — and, via the ``cache`` arg, a second
+        # calculator over the same maps (the calibrated grid), sparing a
+        # full re-score of every (prediction, GT) sentence pair
+        aps = []
         ap_dict: Dict = {}
         for iou, meteor in self.thresholds:
             _, _, ap, cache = eval_densecap(
                 self.pred_map, self.gt_map, (iou, meteor), cache)
             aps.append(ap)
             ap_dict.setdefault(iou, {})[meteor] = ap
+        self.cache = cache
         return {"AP": ap_dict, "mAP": float(np.mean(aps))}
 
     def reset(self):
         self.pred_map = {}
         self.gt_map = {}
         self.scan_cnt = 0
+        self.cache = None
 
 
 def evaluate_dense_captioning(predictions: Dict, gts: Dict,
@@ -461,7 +468,7 @@ def evaluate_dense_captioning(predictions: Dict, gts: Dict,
         cal_calc.pred_map = calc.pred_map
         cal_calc.gt_map = calc.gt_map
         cal_calc.scan_cnt = calc.scan_cnt
-        cal = cal_calc.compute_metrics()
+        cal = cal_calc.compute_metrics(cache=calc.cache)
         results["calibrated"] = {
             "AP": cal["AP"], "mAP": cal["mAP"],
             "meteor_thresholds": list(cal_ths),

@@ -67,9 +67,11 @@ class SharedMLP(nn.Module):
     (and the residuals the backward saves follow it).  Targets the
     HBM-bound BN/MLP chain over the (B,M,S,C) grouped activations without
     the bf16-COMPUTE quality collapse (TPU_DESIGN §8: f32 weights, f32
-    matmul passes; only the layer-boundary rounding is paid).  The final
-    output is cast back to float32.  Ignored when compute_dtype is set
-    (compute narrowing subsumes it).
+    matmul passes; only the layer-boundary rounding is paid).  Only
+    INTERIOR boundaries are narrowed — the last layer's output stays
+    float32 (consumers like the max-pool read it once; narrowing it buys
+    no HBM on the hot path but would round the stack's output).  Ignored
+    when compute_dtype is set (compute narrowing subsumes it).
     """
 
     features: Sequence[int]
@@ -106,16 +108,11 @@ class SharedMLP(nn.Module):
             x = x.astype(jnp.dtype(self.storage_dtype))
         return x
 
-    def _finish(self, x: jax.Array) -> jax.Array:
-        if self.storage_dtype and not self.compute_dtype:
-            x = x.astype(jnp.float32)
-        return x
-
     def __call__(self, x: jax.Array, train: bool = True,
                  bn_momentum: jax.Array | float = 0.1) -> jax.Array:
         for i in range(len(self.features)):
             x = self._post(self.denses[i](x), i, train, bn_momentum)
-        return self._finish(x)
+        return x
 
     def project_first(self, x: jax.Array) -> jax.Array:
         """Layer-0 linear only (no BN/ReLU).  With bn=True it is bias-free,
@@ -133,7 +130,7 @@ class SharedMLP(nn.Module):
         x = self._post(x, 0, train, bn_momentum)
         for i in range(1, len(self.features)):
             x = self._post(self.denses[i](x), i, train, bn_momentum)
-        return self._finish(x)
+        return x
 
 
 class GRUCell(nn.Module):

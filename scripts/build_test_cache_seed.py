@@ -33,19 +33,26 @@ def main():
                     help="skip the suite run; tar the cache as-is")
     args = ap.parse_args()
 
+    cache = CACHE
     if not args.no_run:
-        # start truly cold so the tar holds exactly the suite's programs
-        shutil.rmtree(CACHE, ignore_errors=True)
-        # remove the old seed so the conftest doesn't re-extract it
-        if os.path.exists(SEED):
-            os.remove(SEED)
+        # Build the fresh cache at a TEMP location and point the suite at it
+        # via env (conftest's jax.config.update only sets a default — the
+        # env var wins at jax startup in both the suite process and the CLI
+        # subprocesses it spawns).  The live cache and the checked-in seed
+        # survive a failed run untouched; swap in only on success.
+        cache = CACHE + ".rebuild"
+        shutil.rmtree(cache, ignore_errors=True)
+        env = dict(os.environ,
+                   JAX_COMPILATION_CACHE_DIR=cache,
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.35",
+                   SCAN2CAP_NO_CACHE_SEED="1")  # don't re-extract old seed
         rc = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/", "-q", "-x",
-             "-m", "not slow"], cwd=REPO).returncode
+             "-m", "not slow"], cwd=REPO, env=env).returncode
         if rc != 0:
             sys.exit(f"suite failed (rc={rc}); not updating the seed")
 
-    entries = sorted(os.listdir(CACHE)) if os.path.isdir(CACHE) else []
+    entries = sorted(os.listdir(cache)) if os.path.isdir(cache) else []
     if not entries:
         sys.exit("compilation cache is empty; nothing to seed")
     os.makedirs(os.path.dirname(SEED), exist_ok=True)
@@ -62,7 +69,10 @@ def main():
 
     with tarfile.open(SEED, "w:gz", compresslevel=9) as tf:
         for name in entries:
-            tf.add(os.path.join(CACHE, name), arcname=name, filter=_pin)
+            tf.add(os.path.join(cache, name), arcname=name, filter=_pin)
+    if cache != CACHE:  # success: promote the rebuilt cache to live
+        shutil.rmtree(CACHE, ignore_errors=True)
+        os.rename(cache, CACHE)
     print(f"seed: {len(entries)} entries, "
           f"{os.path.getsize(SEED) / 1e6:.1f} MB -> {SEED}")
 

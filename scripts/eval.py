@@ -109,16 +109,16 @@ def evaluate(args):
         # random init, so caption eval is rejected for those.
         from scan2cap_tpu.convert import (
             _load_state_dict, mount_capnet_weights, mount_detection_weights)
-        has_caption = any(k.startswith("caption.")
-                          for k in _load_state_dict(args.use_pretrained))
+        sd = _load_state_dict(args.use_pretrained)  # load ONCE, mount below
+        has_caption = any(k.startswith("caption.") for k in sd)
         if has_caption:
-            state = mount_capnet_weights(state, args.use_pretrained)
+            state = mount_capnet_weights(state, sd)
         elif args.eval_caption:
             raise SystemExit(
                 "--use_pretrained <.pth> holds detection weights only; "
                 "combine it with --eval_detection, not --eval_caption")
         else:
-            state = mount_detection_weights(state, args.use_pretrained)
+            state = mount_detection_weights(state, sd)
     else:
         src = (os.path.join(paths.output, args.use_pretrained, "ckpt")
                if args.use_pretrained else os.path.join(folder, "ckpt"))

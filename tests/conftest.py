@@ -36,18 +36,40 @@ jax.config.update("jax_platforms", "cpu")
 # a seed tarball is checked in (tests/fixtures/compile_cache_seed.tar.gz,
 # rebuilt by scripts/build_test_cache_seed.py) and extracted on first run;
 # entries whose keys don't match this jax/XLA build are simply misses.
-_cache_dir = os.path.join(
+# honor an explicit env override (scripts/build_test_cache_seed.py points a
+# rebuild at a temp dir this way; jax.config.update below would otherwise
+# silently win over the env var)
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
     os.path.expanduser("~"), ".cache", "scan2cap_tpu_jax_testcache")
 _seed_tar = os.path.join(
     os.path.dirname(__file__), "fixtures", "compile_cache_seed.tar.gz")
+if os.environ.get("SCAN2CAP_NO_CACHE_SEED"):
+    _seed_tar = ""  # seed-rebuild runs must start truly cold
+# Seed extraction failures (old tarfile without the filter= backport, a
+# truncated tarball, ...) must NOT take down the persistent cache itself —
+# a cold cache is slow, no cache at all is slower still, so the two setup
+# steps get separate failure domains.
 try:
     if not os.path.isdir(_cache_dir) or not os.listdir(_cache_dir):
         os.makedirs(_cache_dir, exist_ok=True)
-        if os.path.exists(_seed_tar):
+        if _seed_tar and os.path.exists(_seed_tar):
+            import sys
             import tarfile
 
-            with tarfile.open(_seed_tar) as tf:
-                tf.extractall(_cache_dir, filter="data")
+            try:
+                with tarfile.open(_seed_tar) as tf:
+                    tf.extractall(_cache_dir, filter="data")
+            except Exception as e:  # run cold, but SAY so and stay seedable
+                print(f"conftest: compile-cache seed extraction failed "
+                      f"({e!r}); running with a cold cache", file=sys.stderr)
+                for _f in os.listdir(_cache_dir):
+                    try:
+                        os.remove(os.path.join(_cache_dir, _f))
+                    except OSError:
+                        pass
+except Exception:
+    pass
+try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     # 0.35s threshold (vs the jax default 1.0): the suite compiles hundreds
     # of distinct sub-2s programs whose sum is minutes; persist them too

@@ -94,6 +94,37 @@ def test_densecap_map_perfect():
     assert out2["mAP"] < out["mAP"]
 
 
+def test_densecap_cache_reuse_identical():
+    # the per-detection (ious, meteors) cache is threshold-independent; a
+    # second calculator over the same maps (the calibrated grid) reuses the
+    # first one's cache and must produce bit-identical APs
+    from scan2cap_tpu.eval.benchmark import DenseCapAPCalculator
+
+    pred, gt = _fixture()
+    pred["scene0000_00"][0]["caption"] = "sos a slightly off caption eos"
+    calc = DenseCapAPCalculator()
+    p, g = organize_prediction(pred), organize_gt(gt)
+    for scene_id in g:
+        preds = p[scene_id]
+        gt_list = [(g[scene_id]["boxes"][j], g[scene_id]["captions"][j])
+                   for j in range(len(g[scene_id]["boxes"]))]
+        obj_prob = preds["obj_prob"][:, 1]
+        pred_list = [(preds["boxes"][j], float(obj_prob[j]),
+                      preds["captions"][j])
+                     for j in range(len(preds["boxes"]))]
+        calc.step([pred_list], [gt_list])
+    fresh = calc.compute_metrics()
+    calc2 = DenseCapAPCalculator(meteor_thresholds=(.1, .2, .3, .4, .5))
+    calc2.pred_map, calc2.gt_map = calc.pred_map, calc.gt_map
+    calc2.scan_cnt = calc.scan_cnt
+    reused = calc2.compute_metrics(cache=calc.cache)
+    refetched = DenseCapAPCalculator(meteor_thresholds=(.1, .2, .3, .4, .5))
+    refetched.pred_map, refetched.gt_map = calc.pred_map, calc.gt_map
+    refetched.scan_cnt = calc.scan_cnt
+    want = refetched.compute_metrics()
+    assert reused == want
+
+
 def test_assignment_rotated_matches_aabb_on_axis_aligned():
     # axis-aligned fixture boxes: the rotated polygon-clip assignment must
     # select the same candidates as the AABB path

@@ -127,3 +127,23 @@ def test_collective_bytes_accounting():
     assert out["all-gather"] == 16 * 256 * 2
     assert out["collective-permute"] == 32 * 4
     assert out["total"] == sum(v for k, v in out.items() if k != "total")
+
+
+def test_collective_bytes_async_pairs():
+    """TPU-style async <op>-start/<op>-done pairs count ONCE, via the -done
+    line (the -start's printed shape can be an (operand, result) tuple)."""
+    import __graft_entry__ as g
+
+    hlo = "\n".join([
+        "  %ar.s = (f32[64]{0}, f32[64]{0}) all-reduce-start(%x)",
+        "  %ar.d = f32[64]{0} all-reduce-done(%ar.s)",
+        "  %ag.s = (bf16[8,16]{1,0}, bf16[16,16]{1,0}) all-gather-start(%y)",
+        "  %ag.d = bf16[16,16]{1,0} all-gather-done(%ag.s)",
+        "  %cp.s = u32[32]{0} collective-permute-start(%z)",
+        "  %cp.d = u32[32]{0} collective-permute-done(%cp.s)",
+    ])
+    out = g._collective_bytes(hlo)
+    assert out["all-reduce"] == 64 * 4
+    assert out["all-gather"] == 16 * 16 * 2
+    assert out["collective-permute"] == 32 * 4
+    assert out["total"] == 64 * 4 + 16 * 16 * 2 + 32 * 4
