@@ -82,8 +82,41 @@ def _pair_group_scan(m: jax.Array, c: jax.Array, r8: jax.Array,
     return _pair_combine(prem, prec, sufm, sufc)
 
 
+def _argmax_combine(a, b, mask, k, neg, big):
+    """Combine step for the coords-carrying scan: ``a``/``b`` are
+    (m, c, wx, wy, wz) tuples, ``b`` rolled by ``k`` (masked to the unit
+    (neg, big, *) outside the group).  Winner selection is the CUDA rule —
+    larger score, ties to smaller index — and the coords FOLLOW the index
+    choice bit-exactly (self-idempotent: take2 is False on self; the
+    coords need no masking because take2 is already False wherever the
+    mask zeroed m2/c2)."""
+    m1, c1 = a[0], a[1]
+    m2 = jnp.where(mask, _roll_rows(b[0], k), neg)
+    c2 = jnp.where(mask, _roll_rows(b[1], k), big)
+    take2 = (m2 > m1) | ((m2 == m1) & (c2 < c1))
+    out = [jnp.maximum(m1, m2), jnp.where(take2, c2, c1)]
+    for v1, v2 in zip(a[2:], b[2:]):
+        out.append(jnp.where(take2, _roll_rows(v2, k), v1))
+    return tuple(out)
+
+
+def _coord_group_scan(m, c, wx, wy, wz, r8, big):
+    """(max score, tie-min index, winner coords) all-reduce over each
+    aligned 8-row group in ONE scan stage.  Carrying the coords here is
+    what lets the NEXT iteration start its distance pass directly from the
+    loop carry instead of re-extracting the winner's coordinates with a
+    one-hot + add-scan on its critical path."""
+    neg = jnp.float32(-jnp.inf)
+    pre = suf = (m, c, wx, wy, wz)
+    for k in (1, 2, 4):
+        pre = _argmax_combine(pre, pre, r8 >= k, k, neg, big)
+        suf = _argmax_combine(suf, suf, r8 < _ROWS - k, -k, neg, big)
+    return _argmax_combine(pre, suf, r8 >= 0, 0, neg, big)
+
+
 def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
-                fold_valid: bool = True, pair_argmax: bool = False):
+                fold_valid: bool = True, pair_argmax: bool = False,
+                carry_coords: bool = False):
     """xyz_ref: (1, 3*R, cols) VMEM — rows [0:R)=x, [R:2R)=y, [2R:3R)=z,
     where R = _ROWS*_SCENES and scene s owns sublane rows [8s, 8s+8);
     out_ref: (1, R, npad) int32 (per-scene value broadcast across its 8
@@ -112,6 +145,53 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
     else:
         temp_ref[:] = jnp.full((R, cols), 1e10, jnp.float32)
     BIG = jnp.int32(2 ** 30)
+
+    if carry_coords:
+        assert pair_argmax, "carry_coords builds on the pair-scan argmax"
+        # the loop carry holds the last pick's coords (group-broadcast),
+        # so each iteration starts its distance pass straight from vregs;
+        # the winner's coords are extracted in the SAME iteration that
+        # selects it (row one-hot masked sums against the row candidate)
+        # and ride the argmax scan — the per-iteration sel + add-scan
+        # stage disappears from the serial chain.
+        def body_cc(j, carry):
+            lx, ly, lz, stage = carry
+            d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+            t = jnp.minimum(temp_ref[:], d2)
+            temp_ref[:] = t
+            score = t if fold_valid else jnp.where(valid, t, -1.0)
+            m_col = jnp.max(score, axis=1, keepdims=True)        # (R, 1)
+            cand_row = jnp.min(jnp.where(score == m_col, orig, BIG),
+                               axis=1, keepdims=True)            # (R, 1)
+            selw = (score == m_col) & (orig == cand_row)  # 1/row one-hot
+            wx, wy, wz = (
+                jnp.sum(jnp.where(selw, v, 0.0), axis=1, keepdims=True)
+                for v in (x, y, z))
+            _, nxt_row, cx, cy, cz = _coord_group_scan(
+                m_col, cand_row, wx, wy, wz, r8, BIG)
+            stage = jnp.where(lane == j % 128, nxt_row, stage)
+
+            @pl.when(j % 128 == 127)
+            def _():
+                base = pl.multiple_of((j // 128) * 128, 128)
+                out_ref[0, :, pl.ds(base, 128)] = stage
+
+            return cx, cy, cz, stage
+
+        # seed coords (index 0 per scene): one-hot sums + group broadcast,
+        # once, outside the loop
+        sel0 = orig == 0
+        seed = []
+        for v in (x, y, z):
+            u = jnp.sum(jnp.where(sel0, v, 0.0), axis=1, keepdims=True)
+            seed.append(_group_scan(u, r8, jnp.add, jnp.float32(0.0)) - u)
+        _, _, _, stage = jax.lax.fori_loop(
+            1, npoint, body_cc,
+            (seed[0], seed[1], seed[2],
+             jnp.zeros((R, 128), jnp.int32)))
+        out_ref[0, :, ((npoint - 1) // 128) * 128:
+                ((npoint - 1) // 128) * 128 + 128] = stage
+        return
 
     def body(j, carry):
         nxt_row, stage = carry
@@ -168,17 +248,24 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, npoint: int, n_valid: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("npoint", "interpret", "fold_valid",
-                                    "pair_argmax"))
+                                    "pair_argmax", "carry_coords"))
 def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
                                  interpret: bool = False,
                                  fold_valid: bool = True,
-                                 pair_argmax: bool = True) -> jax.Array:
+                                 pair_argmax: bool = True,
+                                 carry_coords: bool = False) -> jax.Array:
     """(B, N, 3) -> (B, npoint) int32; up to 8 scenes per program.
     ``fold_valid=False`` selects the pre-tuning two-pass kernel variant
     (identical results) so scripts/micro_fps.py can A/B both in-process;
     ``pair_argmax=False`` selects the two-scan argmax chain it replaced
     (identical results; kept for the on-device A/B — the pair scan
-    measured +3.7% on the fold variant, 12.60->12.15 ms at B=16)."""
+    measured +3.7% on the fold variant, 12.60->12.15 ms at B=16);
+    ``carry_coords=True`` additionally carries the winner's coordinates
+    through the argmax scan so the next iteration skips the one-hot +
+    add-scan coordinate extraction (identical results; measured NEGATIVE
+    on device, 12.46 vs 11.76 ms — the extraction moves into the serial
+    chain ahead of the scan instead of overlapping its tail; kept as the
+    documented negative, TPU_DESIGN §10d)."""
     B, N, _ = xyz.shape
     cb = min(B, _SCENES)
     R = _ROWS * cb
@@ -196,7 +283,8 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
 
     kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N,
                                fold_valid=fold_valid,
-                               pair_argmax=pair_argmax)
+                               pair_argmax=pair_argmax,
+                               carry_coords=carry_coords)
     out = pl.pallas_call(
         kernel,
         grid=(G,),

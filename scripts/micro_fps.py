@@ -46,12 +46,12 @@ def main():
         lambda k: jax.random.uniform(k, (B, N, 3), minval=-4.0, maxval=4.0)
     )(key))
 
-    def rep(fold, pair=False):
+    def rep(fold, pair=False, carry=False):
         def fn(salt):
             def step(acc, i):
                 idx = furthest_point_sample_pallas(
                     xyz + (acc + salt + i) * 1e-12, M, fold_valid=fold,
-                    pair_argmax=pair)
+                    pair_argmax=pair, carry_coords=carry)
                 return jnp.float32(jnp.sum(idx % 128)), None
             acc, _ = jax.lax.scan(step, jnp.float32(0),
                                   jnp.arange(REP, dtype=jnp.float32))
@@ -66,6 +66,8 @@ def main():
     assert (a == b).all(), "fold_valid variants disagree on device!"
     c = np.asarray(furthest_point_sample_pallas(xyz, M))  # shipped default
     assert (a == c).all(), "pair_argmax variant disagrees on device!"
+    d = np.asarray(furthest_point_sample_pallas(xyz, M, carry_coords=True))
+    assert (a == d).all(), "carry_coords variant disagrees on device!"
     print("variant parity: exact")
 
     t_old = timed(rep(False))
@@ -76,6 +78,9 @@ def main():
     t_pair = timed(rep(True, pair=True))
     print(f"fold + pair-scan:       {t_pair:7.2f} ms  "
           f"({(t_new / t_pair - 1) * 100:+.1f}% vs fold)")
+    t_cc = timed(rep(True, pair=True, carry=True))
+    print(f"fold + pair + coords:   {t_cc:7.2f} ms  "
+          f"({(t_pair / t_cc - 1) * 100:+.1f}% vs pair-scan)")
 
 
 if __name__ == "__main__":

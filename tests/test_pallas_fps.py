@@ -71,6 +71,24 @@ def test_pallas_fps_pair_argmax_variant_agrees(rng):
     np.testing.assert_array_equal(b, want)
 
 
+def test_pallas_fps_carry_coords_variant_agrees(rng):
+    # carry_coords=True threads the winner's coordinates through the argmax
+    # scan (coords must follow the tie-broken index bit-exactly), replacing
+    # the per-iteration one-hot + add-scan extraction
+    xyz = rng.randn(3, 700, 3).astype(np.float32)
+    xyz[1, 400:] = 0.0
+    xyz[2] = 0.0  # all-invalid scene
+    xyz[0] = np.round(xyz[0] * 2.0) / 2.0  # force cross-row score ties
+    a = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, carry_coords=True))
+    want = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 48))
+    np.testing.assert_array_equal(a, want)
+    b = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(xyz), 48, interpret=True, carry_coords=True,
+        fold_valid=False))
+    np.testing.assert_array_equal(b, want)
+
+
 def test_pallas_fps_multi_program(rng):
     # B > 8 exercises the multi-scene grid (8 scenes/program, 2 programs)
     xyz = rng.randn(10, 1100, 3).astype(np.float32)
