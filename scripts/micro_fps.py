@@ -1,12 +1,13 @@
-"""A/B the FPS kernel's validity-fold tuning on the TPU.
+"""A/B the FPS kernel's tuning variants on the TPU.
 
-Both arms are the SAME kernel compiled with ``fold_valid`` True/False (a
-static arg, so two programs in one process — no trace-time env traps),
-timed by in-jit repetition at the sa1 eval shape (B=16 runs as two
-8-scene programs, the production grid).  The fold drops one full-tile
-``where(valid, t, -1)`` VPU pass per FPS iteration (~1 of ~20), so the
-expected win is ~5%; the A/B decides whether that materializes or Mosaic
-was already fusing the pass (docs/TPU_DESIGN.md records the verdict).
+All arms are the SAME kernel compiled with different static args (so all
+programs share one process — no trace-time env traps), timed by in-jit
+repetition at the sa1 eval shape (B=16 runs as two 8-scene programs, the
+production grid).  Arms: the pre-tuning two-pass kernel, the validity
+fold (§10b, default), the pair-scan argmax (§10c, default), and the
+coords-through-the-scan variant (§10d, measured negative).  Parity across
+every arm is asserted on device before timing; docs/TPU_DESIGN.md records
+the verdicts.
 
 Run: python scripts/micro_fps.py
 """
