@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_batches", type=int, default=4,
                    help="distinct synthetic batches cycled during training")
+    p.add_argument("--eval_batches", type=int, default=1,
+                   help="HELD-OUT batches for the detection eval; the "
+                        "default 8-scene eval is too noisy to compare "
+                        "training variants (TPU_DESIGN §8: f32 tails span "
+                        "0.29-0.49 across seeds at eval_batches=1)")
     p.add_argument("--num_points", type=int, default=40000)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
@@ -128,11 +133,12 @@ def main():
     vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
     idx2word = vocab["idx2word"]
 
-    print(f"building {args.num_batches}+1 synthetic batches "
-          f"(N={mcfg.num_points}, B={args.batch_size})...", flush=True)
+    print(f"building {args.num_batches}+{args.eval_batches} synthetic "
+          f"batches (N={mcfg.num_points}, B={args.batch_size})...",
+          flush=True)
     host_batches = [make_scene_batch(mcfg, batch_size=args.batch_size,
                                      num_objects=6, vocab=vocab, seed=s)
-                    for s in range(args.num_batches + 1)]
+                    for s in range(args.num_batches + args.eval_batches)]
     t0 = time.time()
     jbatches = [stage_batch(b, mcfg, jnp) for b in host_batches]
     jax.block_until_ready(jbatches)
@@ -153,13 +159,18 @@ def main():
     lr = jnp.asarray(args.lr)
     mom = jnp.asarray(0.1)
 
-    def eval_detection(jb, hb):
-        out = eval_step(state, jb)
-        parsed = jax.device_get(parse_predictions_device(
-            {**out, "point_clouds": jb["point_clouds"]}))
-        preds = assemble_pred_map_cls(np.asarray(out["bbox_corner"]), parsed)
+    def eval_detection(batch_pairs):
+        """mAP/AR over ALL held-out batches in one APCalculator — the
+        regression signal needs more than one 8-scene batch to rise above
+        eval noise when comparing training variants."""
         calc = APCalculator(0.25)
-        calc.step(preds, parse_groundtruths(hb))
+        for jb, hb in batch_pairs:
+            out = eval_step(state, jb)
+            parsed = jax.device_get(parse_predictions_device(
+                {**out, "point_clouds": jb["point_clouds"]}))
+            preds = assemble_pred_map_cls(
+                np.asarray(out["bbox_corner"]), parsed)
+            calc.step(preds, parse_groundtruths(hb))
         m = calc.compute_metrics()
         return float(m["mAP"]), float(m["AR"])
 
@@ -190,9 +201,13 @@ def main():
     curve = {"step": [], "loss": [], "cap_loss": [], "cap_acc": [],
              "map25": [], "ar25": [], "cider_train": []}
 
+    nb = args.num_batches
+    train_pairs = list(zip(jbatches[:nb], host_batches[:nb]))
+    eval_pairs = list(zip(jbatches[nb:], host_batches[nb:]))
+
     def record(step_i, metrics):
-        m25, ar = eval_detection(jbatches[-1], host_batches[-1])
-        cid = eval_cider(list(zip(jbatches[:-1], host_batches[:-1])))
+        m25, ar = eval_detection(eval_pairs)
+        cid = eval_cider(train_pairs)
         curve["step"].append(step_i)
         curve["loss"].append(
             round(float(metrics["loss"]), 4) if metrics else None)
@@ -221,7 +236,8 @@ def main():
         "config": {"tiny": args.tiny, "num_points": mcfg.num_points,
                    "num_proposals": mcfg.num_proposals,
                    "batch_size": args.batch_size, "steps": args.steps,
-                   "num_batches": args.num_batches, "lr": args.lr,
+                   "num_batches": args.num_batches,
+                   "eval_batches": args.eval_batches, "lr": args.lr,
                    "seed": args.seed,
                    "flagship": not args.tiny},
         "platform": jax.devices()[0].platform,
