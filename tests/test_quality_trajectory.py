@@ -46,9 +46,10 @@ def test_artifact_is_flagship_full_scale():
 
 def test_artifact_quality_bounds():
     """Loose pinned bounds — the gate for silent training-quality
-    regressions.  Measured curve (2026-08-19, seed 42): mAP@0.25 peaks
-    0.311 / ends 0.290, CiDEr(train) peaks 6.29 / ends 1.01 (the final
-    point dips with a genuine constant-lr loss spike, visible in cap_loss
+    regressions.  Measured curve (2026-08-19, seed 42, the v2 study's
+    32-scene held-out eval — --eval_batches 4): mAP@0.25 peaks 0.331 /
+    ends 0.331, CiDEr(train) peaks 6.29 / ends 1.01 (the final point dips
+    with a genuine constant-lr loss spike, visible in cap_loss
     0.054->0.55), loss 34.1 -> 4.55.  Bounds sit at roughly half the
     measured values — the bf16 failure mode this gate exists for scored
     mAP 0.001 (TPU_DESIGN §8), far below any of them."""
