@@ -55,6 +55,13 @@ def parse_args():
     p.add_argument("--num_points", type=int, default=40000)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seeds", type=str, default="",
+                   help="comma-separated list; runs every seed in ONE "
+                        "process (batches staged once, programs compiled "
+                        "once — on this host each fresh process pays a "
+                        "multi-minute tunnel cool-down, so paired studies "
+                        "should batch their seeds). --out must contain "
+                        "'{seed}'")
     p.add_argument("--out", type=str, default="")
     p.add_argument("--tiny", action="store_true",
                    help="CPU-sized config for the regression test")
@@ -145,8 +152,6 @@ def main():
     print(f"staged in {time.time() - t0:.0f}s", flush=True)
 
     model = CapNet(mcfg, num_vocabs=128)
-    state = create_train_state(cfg, model, jbatches[0],
-                               jax.random.PRNGKey(args.seed))
     step = make_train_step(cfg, model, detection=True, caption=True,
                            orientation=True, donate=False)
     eval_step = make_eval_step(cfg, model)
@@ -159,7 +164,7 @@ def main():
     lr = jnp.asarray(args.lr)
     mom = jnp.asarray(0.1)
 
-    def eval_detection(batch_pairs):
+    def eval_detection(state, batch_pairs):
         """mAP/AR over ALL held-out batches in one APCalculator — the
         regression signal needs more than one 8-scene batch to rise above
         eval noise when comparing training variants."""
@@ -174,7 +179,7 @@ def main():
         m = calc.compute_metrics()
         return float(m["mAP"]), float(m["AR"])
 
-    def eval_cider(batch_pairs):
+    def eval_cider(state, batch_pairs):
         """CiDEr of the free-running decode on the TRAINING scenes, scored
         across ALL train batches at once (one 8-scene batch is far too few
         candidates for a stable document-frequency-based metric)."""
@@ -198,62 +203,73 @@ def main():
                 cands[key] = [cand]
         return float(Cider().compute_score(corpus, cands)[0])
 
-    curve = {"step": [], "loss": [], "cap_loss": [], "cap_acc": [],
-             "map25": [], "ar25": [], "cider_train": []}
-
     nb = args.num_batches
     train_pairs = list(zip(jbatches[:nb], host_batches[:nb]))
     eval_pairs = list(zip(jbatches[nb:], host_batches[nb:]))
 
-    def record(step_i, metrics):
-        m25, ar = eval_detection(eval_pairs)
-        cid = eval_cider(train_pairs)
-        curve["step"].append(step_i)
-        curve["loss"].append(
-            round(float(metrics["loss"]), 4) if metrics else None)
-        curve["cap_loss"].append(
-            round(float(metrics["cap_loss"]), 4) if metrics else None)
-        curve["cap_acc"].append(
-            round(float(metrics["cap_acc"]), 4) if metrics else None)
-        curve["map25"].append(round(m25, 4))
-        curve["ar25"].append(round(ar, 4))
-        curve["cider_train"].append(round(cid, 4))
-        print(f"step {step_i:4d}: loss "
-              f"{curve['loss'][-1]} mAP@0.25 {m25:.4f} AR {ar:.4f} "
-              f"CiDEr(train) {cid:.4f}", flush=True)
+    def run_seed(seed):
+        state = create_train_state(cfg, model, jbatches[0],
+                                   jax.random.PRNGKey(seed))
+        curve = {"step": [], "loss": [], "cap_loss": [], "cap_acc": [],
+                 "map25": [], "ar25": [], "cider_train": []}
 
-    record(0, None)
-    t_train = time.time()
-    metrics = None
-    for i in range(1, args.steps + 1):
-        state, metrics = step(state, jbatches[(i - 1) % args.num_batches],
-                              lr, mom)
-        if i % args.eval_every == 0 or i == args.steps:
-            record(i, metrics)
-    wall = time.time() - t_train
+        def record(step_i, metrics):
+            m25, ar = eval_detection(state, eval_pairs)
+            cid = eval_cider(state, train_pairs)
+            curve["step"].append(step_i)
+            curve["loss"].append(
+                round(float(metrics["loss"]), 4) if metrics else None)
+            curve["cap_loss"].append(
+                round(float(metrics["cap_loss"]), 4) if metrics else None)
+            curve["cap_acc"].append(
+                round(float(metrics["cap_acc"]), 4) if metrics else None)
+            curve["map25"].append(round(m25, 4))
+            curve["ar25"].append(round(ar, 4))
+            curve["cider_train"].append(round(cid, 4))
+            print(f"seed {seed} step {step_i:4d}: loss "
+                  f"{curve['loss'][-1]} mAP@0.25 {m25:.4f} AR {ar:.4f} "
+                  f"CiDEr(train) {cid:.4f}", flush=True)
 
-    result = {
-        "config": {"tiny": args.tiny, "num_points": mcfg.num_points,
-                   "num_proposals": mcfg.num_proposals,
-                   "batch_size": args.batch_size, "steps": args.steps,
-                   "num_batches": args.num_batches,
-                   "eval_batches": args.eval_batches, "lr": args.lr,
-                   "seed": args.seed,
-                   "flagship": not args.tiny},
-        "platform": jax.devices()[0].platform,
-        "curve": curve,
-        "final": {"map25": curve["map25"][-1], "ar25": curve["ar25"][-1],
-                  "cider_train": curve["cider_train"][-1],
-                  "loss": curve["loss"][-1]},
-        "train_wall_s": round(wall, 1),
-        "train_scenes_per_sec": round(
-            args.steps * args.batch_size / wall, 2),
-    }
-    line = json.dumps(result)
-    print(line)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(line + "\n")
+        record(0, None)
+        t_train = time.time()
+        metrics = None
+        for i in range(1, args.steps + 1):
+            state, metrics = step(
+                state, jbatches[(i - 1) % args.num_batches], lr, mom)
+            if i % args.eval_every == 0 or i == args.steps:
+                record(i, metrics)
+        wall = time.time() - t_train
+
+        return {
+            "config": {"tiny": args.tiny, "num_points": mcfg.num_points,
+                       "num_proposals": mcfg.num_proposals,
+                       "batch_size": args.batch_size, "steps": args.steps,
+                       "num_batches": args.num_batches,
+                       "eval_batches": args.eval_batches, "lr": args.lr,
+                       "seed": seed,
+                       "flagship": not args.tiny},
+            "platform": jax.devices()[0].platform,
+            "curve": curve,
+            "final": {"map25": curve["map25"][-1],
+                      "ar25": curve["ar25"][-1],
+                      "cider_train": curve["cider_train"][-1],
+                      "loss": curve["loss"][-1]},
+            "train_wall_s": round(wall, 1),
+            "train_scenes_per_sec": round(
+                args.steps * args.batch_size / wall, 2),
+        }
+
+    seeds = ([int(s) for s in args.seeds.split(",") if s.strip()]
+             if args.seeds else [args.seed])
+    if len(seeds) > 1:
+        assert args.out and "{seed}" in args.out, \
+            "--seeds needs --out with a '{seed}' placeholder"
+    for seed in seeds:
+        line = json.dumps(run_seed(seed))
+        print(line)
+        if args.out:
+            with open(args.out.replace("{seed}", str(seed)), "w") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":
