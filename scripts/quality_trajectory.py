@@ -22,8 +22,9 @@ except height, so the staging path uploads only xyz + height + vote labels
 and assembles the zero channels ON DEVICE (this host's tunnel is
 ~1.6 MB/s; the full 135-channel cloud would be ~170 MB/batch).
 
-Run (TPU): python scripts/quality_trajectory.py \
+Run (TPU): python scripts/quality_trajectory.py --eval_batches 4 \
     --out docs/measurements/r4/quality_trajectory.json
+(the checked-in artifact uses the 32-scene eval; see --eval_batches help)
 Tiny (CPU, the slow-test config): add --tiny --steps 200 --eval_every 40
 """
 
