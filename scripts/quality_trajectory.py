@@ -69,7 +69,11 @@ def parse_args():
     p.add_argument("--bf16_storage", action="store_true",
                    help="storage-only bfloat16 backbone buffers (quality "
                         "gate for the storage-dtype experiment)")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.seeds and len(args.seeds.split(",")) > 1:
+        if not (args.out and "{seed}" in args.out):
+            p.error("--seeds needs --out with a '{seed}' placeholder")
+    return args
 
 
 def make_config(args):
@@ -262,9 +266,6 @@ def main():
 
     seeds = ([int(s) for s in args.seeds.split(",") if s.strip()]
              if args.seeds else [args.seed])
-    if len(seeds) > 1:
-        assert args.out and "{seed}" in args.out, \
-            "--seeds needs --out with a '{seed}' placeholder"
     for seed in seeds:
         line = json.dumps(run_seed(seed))
         print(line)

@@ -67,16 +67,34 @@ def test_artifact_quality_bounds():
 
 
 @pytest.mark.slow
-def test_tiny_trajectory_runs_end_to_end():
+def test_tiny_trajectory_runs_end_to_end(tmp_path):
+    """Drives BOTH new study surfaces in one subprocess: multi-seed
+    in-process batching (--seeds, per-seed JSONs) and the multi-batch
+    held-out eval (--eval_batches)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    out_pat = str(tmp_path / "qt_{seed}.json")
     proc = subprocess.run(
         [sys.executable, "scripts/quality_trajectory.py", "--tiny",
          "--steps", "8", "--eval_every", "8", "--batch_size", "2",
-         "--num_batches", "1", "--num_points", "512"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+         "--num_batches", "1", "--num_points", "512",
+         "--eval_batches", "2", "--seeds", "5,6", "--out", out_pat],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    out = json.loads(line)
-    assert out["curve"]["step"] == [0, 8]
-    assert out["final"]["loss"] is not None
+    for seed in (5, 6):
+        with open(str(tmp_path / f"qt_{seed}.json")) as f:
+            out = json.load(f)
+        assert out["config"]["seed"] == seed
+        assert out["config"]["eval_batches"] == 2
+        assert out["curve"]["step"] == [0, 8]
+        assert out["final"]["loss"] is not None
+
+
+def test_seeds_requires_placeholder_out():
+    proc = subprocess.run(
+        [sys.executable, "scripts/quality_trajectory.py", "--tiny",
+         "--steps", "1", "--seeds", "1,2", "--out", "/tmp/nope.json"],
+        cwd=REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "{seed}" in proc.stderr
