@@ -13,6 +13,8 @@ isolates exactly what the converter maps: conv/BN/PReLU weights and their
 layout.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -125,11 +127,39 @@ def fp_forward_t(mlp, skip_feats, known_feats, idx, weight):
     return out.squeeze(-1).permute(0, 2, 1)
 
 
+RELEASED_PTH = "/root/reference/pretrained/PRETRAIN_VOTENET_XYZ/model.pth"
+
+
 def test_converted_votenet_chain_parity(tmp_path):
     cfg = ModelConfig(
         num_points=N, num_proposals=NUM_PROPOSAL, sa_npoints=SA_NPOINTS,
         no_caption=True, num_graph_steps=0,
         use_normal=True, use_multiview=True)
+    tmodel = build_torch_votenet(cfg.input_feature_dim)
+    _randomize(tmodel)
+    path = tmp_path / "votenet.pth"
+    torch.save(tmodel.state_dict(), str(path))
+    _chain_parity(cfg, tmodel, str(path))
+
+
+@pytest.mark.skipif(not os.path.exists(RELEASED_PTH),
+                    reason="released checkpoint not present")
+def test_released_checkpoint_chain_parity():
+    """Same chain comparison, but with the REAL released detector
+    (reference pretrained/PRETRAIN_VOTENET_XYZ — the warm-start the
+    reference's scripts/train.py:80-105 loads): trained weights and
+    BN running statistics, not synthetic ones, through both frameworks.
+    Weight shapes are npoint-independent, so the tiny eval shapes stand
+    in for the canonical ones."""
+    cfg = ModelConfig(num_points=N, num_proposals=NUM_PROPOSAL,
+                      sa_npoints=SA_NPOINTS, no_caption=True,
+                      num_graph_steps=0)  # defaults = height-only: XYZ ckpt
+    tmodel = build_torch_votenet(cfg.input_feature_dim)
+    tmodel.load_state_dict(torch.load(RELEASED_PTH, map_location="cpu"))
+    _chain_parity(cfg, tmodel, RELEASED_PTH)
+
+
+def _chain_parity(cfg, tmodel, path):
     in_feat = cfg.input_feature_dim
 
     rng = np.random.RandomState(3)
@@ -137,11 +167,7 @@ def test_converted_votenet_chain_parity(tmp_path):
         rng.uniform(-2, 2, (B, N, 3)),
         rng.randn(B, N, in_feat) * 0.1], -1).astype(np.float32)
 
-    tmodel = build_torch_votenet(in_feat)
-    _randomize(tmodel)
     tmodel.eval()
-    path = tmp_path / "votenet.pth"
-    torch.save(tmodel.state_dict(), str(path))
 
     # ---- flax side: init, mount converted weights, forward ----
     model = CapNet(cfg)
