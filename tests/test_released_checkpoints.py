@@ -49,3 +49,45 @@ def test_released_checkpoint_round_trips_bit_exact(pth):
         if k.endswith("num_batches_tracked"):
             continue  # export restarts the counter; torch ignores it in eval
         np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+FLAGSHIP_PTH = ("/root/reference/pretrained/"
+                "PRETRAIN_VOTENET_XYZ_MULTIVIEW_NORMAL/model.pth")
+
+
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP_PTH),
+                    reason="released checkpoint not present")
+def test_released_flagship_variant_mounts_into_multiview_config():
+    """The reference's flagship training recipe warm-starts CapNet from
+    PRETRAIN_VOTENET_XYZ_MULTIVIEW_NORMAL (scripts/train.py:80-105 +
+    slurm/train.job:24).  Mount the REAL released file into the matching
+    multiview+normal config here (sa1 in-width 135 = 3 + height + normal
+    + 128 multiview) and check the loaded detector produces finite,
+    non-degenerate outputs.  test_convert.py covers the XYZ variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.config import Config, ModelConfig
+    from scan2cap_tpu.convert import mount_detection_weights
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.train import create_train_state
+
+    mcfg = ModelConfig(num_points=1024, num_proposals=32,
+                       sa_npoints=(256, 128, 64, 32), max_num_obj=8,
+                       use_normal=True, use_multiview=True,
+                       no_caption=True)
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=16)
+    batch = make_scene_batch(mcfg, batch_size=1, num_objects=3, vocab=vocab)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = CapNet(mcfg, num_vocabs=16)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    state = mount_detection_weights(state, FLAGSHIP_PTH)
+    out = jax.jit(model.apply,
+                  static_argnames=("use_tf", "is_eval", "train"))(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch, use_tf=True, is_eval=False, train=False)
+    assert np.isfinite(np.asarray(out["objectness_scores"])).all()
+    probs = jax.nn.softmax(out["objectness_scores"], -1)[..., 1]
+    assert 0 < float(jnp.mean(probs)) < 1
