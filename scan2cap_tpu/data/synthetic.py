@@ -169,6 +169,35 @@ def make_scene_batch(
     }
 
 
+def stage_scene_batch(host_batch: dict, cfg) -> dict:
+    """Place a ``make_scene_batch`` result on device, assembling the
+    all-zero feature channels (color/normal/multiview) there instead of
+    uploading them — synthetic scenes carry signal only in xyz + height,
+    and this host's tunnel is ~1.6 MB/s (a full 135-channel flagship cloud
+    would be ~170 MB/batch).  Labels and small tensors upload as-is.
+    Shared by scripts/quality_trajectory.py and the training demo."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = {}
+    pc = host_batch["point_clouds"]
+    height_ch = (3 + 3 * cfg.use_color + 3 * cfg.use_normal
+                 + 128 * cfg.use_multiview)
+    n_zero = pc.shape[-1] - 4  # channels between xyz and height
+    xyz = jnp.asarray(np.ascontiguousarray(pc[..., :3]))
+    if cfg.use_height and n_zero >= 0:
+        height = jnp.asarray(np.ascontiguousarray(pc[..., height_ch]))
+        zeros = jnp.zeros(pc.shape[:-1] + (n_zero,), jnp.float32)
+        out["point_clouds"] = jnp.concatenate(
+            [xyz, zeros, height[..., None]], axis=-1)
+    else:
+        out["point_clouds"] = jnp.asarray(pc)
+    for k, v in host_batch.items():
+        if k != "point_clouds":
+            out[k] = jnp.asarray(v)
+    return out
+
+
 def make_device_train_batch(cfg, batch_size: int, vocab: dict,
                             num_objects: int = 8, seed: int = 0,
                             key_seed: int = 7):

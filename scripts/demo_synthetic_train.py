@@ -41,6 +41,15 @@ def parse_args():
                    help="storage-only bfloat16: layer-boundary activation "
                         "buffers half-width, all matmul/BN compute f32 "
                         "(gated by --bf16_components; subsumed by --bf16)")
+    p.add_argument("--use_normal", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--use_pretrained", type=str, default=None,
+                   help="warm-start the detection modules from a "
+                        "reference-layout VoteNet .pth (the reference's "
+                        "flagship recipe loads "
+                        "pretrained/PRETRAIN_VOTENET_XYZ_MULTIVIEW_NORMAL; "
+                        "pass --use_normal --use_multiview to match its "
+                        "input width)")
     return p.parse_args()
 
 
@@ -59,6 +68,8 @@ def main():
     args = parse_args()
     mcfg = ModelConfig(num_points=args.num_points,
                        no_caption=not args.caption, min_iou=-1.0,
+                       use_normal=args.use_normal,
+                       use_multiview=args.use_multiview,
                        compute_dtype="bfloat16" if args.bf16 else "float32",
                        storage_dtype=("bfloat16" if args.bf16_storage
                                       else "float32"),
@@ -67,14 +78,22 @@ def main():
     vocab = make_vocab(num_vocabs=128, emb_size=mcfg.emb_size)
 
     print("building synthetic batches...", flush=True)
+    from scan2cap_tpu.data.synthetic import stage_scene_batch
     batches = [make_scene_batch(mcfg, batch_size=args.batch_size,
                                 num_objects=6, vocab=vocab, seed=s)
                for s in range(args.num_batches + 1)]
-    jbatches = [{k: jnp.asarray(v) for k, v in b.items()} for b in batches]
+    # zero feature channels (normal/multiview) are assembled on device —
+    # the full flagship cloud would be ~170 MB/batch over this host link
+    jbatches = [stage_scene_batch(b, mcfg) for b in batches]
 
     model = CapNet(mcfg, num_vocabs=128)
     state = create_train_state(cfg, model, jbatches[0],
                                jax.random.PRNGKey(args.seed))
+    if args.use_pretrained:
+        from scan2cap_tpu.convert import mount_detection_weights
+        state = mount_detection_weights(state, args.use_pretrained)
+        print(f"warm-started detection modules from {args.use_pretrained}",
+              flush=True)
     step = make_train_step(cfg, model, detection=True,
                            caption=args.caption, donate=False)
     lr = jnp.asarray(args.lr)

@@ -95,30 +95,6 @@ def make_config(args):
     return Config(model=mcfg)
 
 
-def stage_batch(host_batch, mcfg, import_jnp):
-    """Place a synthetic host batch on device, assembling the all-zero
-    feature channels (color/normal/multiview) there instead of uploading
-    them — only xyz, height, votes and the small labels cross the tunnel."""
-    jnp = import_jnp
-    out = {}
-    pc = host_batch["point_clouds"]
-    height_ch = (3 + 3 * mcfg.use_color + 3 * mcfg.use_normal
-                 + 128 * mcfg.use_multiview)
-    n_zero = pc.shape[-1] - 4  # channels between xyz and height
-    xyz = jnp.asarray(np.ascontiguousarray(pc[..., :3]))
-    if mcfg.use_height and n_zero >= 0:
-        height = jnp.asarray(np.ascontiguousarray(pc[..., height_ch]))
-        zeros = jnp.zeros(pc.shape[:-1] + (n_zero,), jnp.float32)
-        out["point_clouds"] = jnp.concatenate(
-            [xyz, zeros, height[..., None]], axis=-1)
-    else:
-        out["point_clouds"] = jnp.asarray(pc)
-    for k, v in host_batch.items():
-        if k != "point_clouds":
-            out[k] = jnp.asarray(v)
-    return out
-
-
 def main():
     import jax
 
@@ -128,7 +104,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.data.synthetic import (make_scene_batch, make_vocab,
+                                             stage_scene_batch)
     from scan2cap_tpu.eval.ap_helper import (
         APCalculator, assemble_pred_map_cls, parse_groundtruths,
         parse_predictions_device)
@@ -152,7 +129,7 @@ def main():
                                      num_objects=6, vocab=vocab, seed=s)
                     for s in range(args.num_batches + args.eval_batches)]
     t0 = time.time()
-    jbatches = [stage_batch(b, mcfg, jnp) for b in host_batches]
+    jbatches = [stage_scene_batch(b, mcfg) for b in host_batches]
     jax.block_until_ready(jbatches)
     print(f"staged in {time.time() - t0:.0f}s", flush=True)
 
