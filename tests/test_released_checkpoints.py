@@ -51,6 +51,48 @@ def test_released_checkpoint_round_trips_bit_exact(pth):
         np.testing.assert_array_equal(a, b, err_msg=k)
 
 
+MASK_PTH = ("/root/reference/pretrained/"
+            "XYZ_MULTIVIEW_NORMAL_MASK_VOTENET/model.pth")
+
+
+@pytest.mark.skipif(not os.path.exists(MASK_PTH),
+                    reason="released checkpoint not present")
+def test_released_mask_votenet_mounts_and_runs():
+    """The released GT-feature extractor (the --pth target of
+    scripts/extract_gt_features.py) mounts into MaskVoteNet at the
+    matching multiview+normal config (sa1 in-width 136 = 3 + height +
+    normal + 128 multiview + 1 target-mask channel) and produces finite
+    features/boxes on a synthetic masked scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.convert import _merge, convert_votenet_checkpoint
+    from scan2cap_tpu.data.synthetic import make_scene_batch, make_vocab
+    from scan2cap_tpu.models.mask_votenet import MaskVoteNet
+
+    cfg = ModelConfig(num_points=1024, sa_npoints=(256, 128, 64, 32),
+                      num_proposals=1, max_num_obj=1, no_caption=True,
+                      use_normal=True, use_multiview=True)
+    vocab = make_vocab(num_vocabs=16, emb_size=300)
+    batch = make_scene_batch(cfg, batch_size=1, num_objects=1, vocab=vocab,
+                             seed=0)
+    batch["point_clouds"] = np.concatenate(
+        [batch["point_clouds"],
+         np.zeros(batch["point_clouds"].shape[:-1] + (1,), np.float32)], -1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = MaskVoteNet(cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
+    cparams, cstats = convert_votenet_checkpoint(MASK_PTH)
+    params = _merge(variables["params"], cparams)
+    stats = _merge(variables["batch_stats"], cstats)
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        {"params": params, "batch_stats": stats}, batch, train=False)
+    for k in ("aggregated_vote_features", "center", "size_scores"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
 FLAGSHIP_PTH = ("/root/reference/pretrained/"
                 "PRETRAIN_VOTENET_XYZ_MULTIVIEW_NORMAL/model.pth")
 
