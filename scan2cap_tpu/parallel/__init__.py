@@ -8,9 +8,11 @@ train/eval steps, gradient all-reduce via XLA collectives over ICI.
 
 from scan2cap_tpu.parallel.mesh import (
     make_mesh,
+    padded_vocab,
     shard_batch,
     replicate,
     batch_sharding,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "padded_vocab", "shard_batch", "replicate",
+           "batch_sharding"]

@@ -38,3 +38,18 @@ def test_eval_step_data_and_proposal_sharded():
         out = step(state_r, sbatch)
         got = np.asarray(out["lang_cap"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_padded_vocab():
+    from scan2cap_tpu.parallel import padded_vocab
+
+    # ScanRefer's 3433 on a 2-way model axis -> 3456 = 27*128 (the padded
+    # point measured in TPU_DESIGN §12's collective-bytes study)
+    assert padded_vocab(3433, 2) == 3456
+    assert padded_vocab(3433, 1) == 3456          # lane padding alone
+    assert padded_vocab(3456, 2) == 3456          # already aligned: no-op
+    assert padded_vocab(3433, 3) == 3456          # lcm(3,128)=384; 9*384
+    assert padded_vocab(1, 8, multiple=1) == 8    # divisibility only
+    for nm in (1, 2, 4, 8):
+        p = padded_vocab(3433, nm)
+        assert p >= 3433 and p % nm == 0 and p % 128 == 0
