@@ -211,18 +211,74 @@ def convert_caption_module(sd: Dict[str, np.ndarray], params: dict) -> str:
     return variant
 
 
-def convert_capnet_checkpoint(pth_path: str) -> Tuple[dict, dict]:
+def convert_capnet_checkpoint(pth_path: str,
+                              num_vocabs_padded: Optional[int] = None
+                              ) -> Tuple[dict, dict]:
     """Full Scan2Cap ``model.pth`` -> (params, batch_stats) for CapNet:
     detection (backbone_net/vgen/proposal) + graph + caption, each converted
     when present (scripts/eval.py:106-108 loads exactly this artifact; a
-    --no_caption or num_graph_steps=0 checkpoint simply lacks those keys)."""
+    --no_caption or num_graph_steps=0 checkpoint simply lacks those keys).
+
+    ``num_vocabs_padded``: zero-pad the caption classifier to this width so
+    the tree loads into a vocab-padded CapNet (num_vocabs_padded; the pad
+    columns are inert — caption._mask_pad_logits)."""
     sd = _load_state_dict(pth_path)
     params, stats = _convert_detection_tree(sd)
     if any(k.startswith("graph.") for k in sd):
         convert_graph_module(sd, params)
     if any(k.startswith("caption.") for k in sd):
         convert_caption_module(sd, params)
+        if num_vocabs_padded:
+            params = pad_caption_classifier(params, num_vocabs_padded)
     return params, stats
+
+
+def pad_caption_classifier(params: dict, num_vocabs_padded: int) -> dict:
+    """Zero-pad the caption classifier's output dim to ``num_vocabs_padded``
+    (a TP-friendly width from parallel.padded_vocab) so an unpadded
+    checkpoint loads into a vocab-padded model.  Zero pad columns produce
+    logit 0, which caption._mask_pad_logits overwrites with -1e30, so the
+    padded model's loss and eval tokens match the unpadded model up to f32
+    reassociation of the widened classifier gemm (last-ulp).  Returns a new
+    tree (input params are not mutated)."""
+    cap = params.get("caption")
+    if not cap or "classifier" not in cap:
+        raise KeyError("params carry no caption.classifier")
+    k = np.asarray(cap["classifier"]["kernel"])
+    b = np.asarray(cap["classifier"]["bias"])
+    v = k.shape[1]
+    if num_vocabs_padded < v:
+        raise ValueError(f"num_vocabs_padded={num_vocabs_padded} < "
+                         f"classifier width {v}")
+    if num_vocabs_padded == v:
+        return params
+    pk = np.zeros((k.shape[0], num_vocabs_padded), k.dtype)
+    pk[:, :v] = k
+    pb = np.zeros((num_vocabs_padded,), b.dtype)
+    pb[:v] = b
+    out = dict(params)
+    out["caption"] = dict(cap)
+    out["caption"]["classifier"] = {"kernel": pk, "bias": pb}
+    return out
+
+
+def slice_caption_classifier(params: dict, num_vocabs: int) -> dict:
+    """Inverse of pad_caption_classifier: cut a vocab-padded run's classifier
+    back to the real vocabulary width (for export to the reference layout or
+    for loading into an unpadded model).  Returns a new tree."""
+    cap = params.get("caption")
+    if not cap or "classifier" not in cap:
+        raise KeyError("params carry no caption.classifier")
+    k = np.asarray(cap["classifier"]["kernel"])
+    b = np.asarray(cap["classifier"]["bias"])
+    if num_vocabs > k.shape[1]:
+        raise ValueError(f"num_vocabs={num_vocabs} > "
+                         f"classifier width {k.shape[1]}")
+    out = dict(params)
+    out["caption"] = dict(cap)
+    out["caption"]["classifier"] = {"kernel": np.ascontiguousarray(k[:, :num_vocabs]),
+                                    "bias": np.ascontiguousarray(b[:num_vocabs])}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -446,12 +502,20 @@ def export_votenet_checkpoint(params: dict, batch_stats: dict,
 
 
 def export_capnet_checkpoint(params: dict, batch_stats: dict,
-                             out_path: Optional[str] = None) -> dict:
+                             out_path: Optional[str] = None,
+                             num_vocabs: Optional[int] = None) -> dict:
     """Inverse of convert_capnet_checkpoint: emit a FULL ``model.pth``
     (detection + graph + caption) in the reference's exact key layout, so a
     model trained here can be loaded by the reference's eval/benchmark
-    scripts (scripts/eval.py:106-108, benchmark/predict.py:102)."""
+    scripts (scripts/eval.py:106-108, benchmark/predict.py:102).
+
+    ``num_vocabs``: when exporting a vocab-padded run (CapNet
+    num_vocabs_padded), pass the real vocabulary size to slice the inert pad
+    columns off the classifier so the .pth matches the reference width."""
     import torch
+
+    if num_vocabs is not None and "caption" in params:
+        params = slice_caption_classifier(params, num_vocabs)
 
     sd = (export_votenet_checkpoint(params, batch_stats)
           if "backbone_net" in params else {})

@@ -29,6 +29,14 @@ class CapNet(nn.Module):
     cfg: ModelConfig
     num_vocabs: int = 4
     use_oracle: bool = False
+    # TP-friendly classifier width (0 = unpadded).  Set to
+    # parallel.padded_vocab(num_vocabs, n_model) when training over a mesh
+    # with a "model" axis: a divisible vocab lets XLA vocab-shard the caption
+    # classifier instead of hidden-sharding it with batch-linear psums
+    # (measured −42% collective bytes/scene, TPU_DESIGN §12).  Pad columns
+    # are inert (caption._mask_pad_logits); the only delta vs unpadded is
+    # f32 reassociation of the widened classifier gemm (last-ulp).
+    num_vocabs_padded: int = 0
 
     @nn.compact
     def __call__(self, data_dict: dict, use_tf: bool = True,
@@ -91,6 +99,7 @@ class CapNet(nn.Module):
             if cfg.use_topdown:
                 d = TopDownSceneCaptionModule(
                     num_vocabs=self.num_vocabs,
+                    num_vocabs_padded=self.num_vocabs_padded,
                     emb_size=cfg.emb_size,
                     feat_size=128,
                     hidden_size=cfg.hidden_size,
@@ -105,6 +114,7 @@ class CapNet(nn.Module):
             else:
                 d = SceneCaptionModule(
                     num_vocabs=self.num_vocabs,
+                    num_vocabs_padded=self.num_vocabs_padded,
                     emb_size=cfg.emb_size,
                     feat_size=128,
                     hidden_size=cfg.hidden_size,

@@ -22,6 +22,8 @@ class CapNetPretrained(nn.Module):
     cfg: ModelConfig
     mode: str = "gt"            # "gt" | "votenet"
     num_vocabs: int = 4
+    # TP-friendly classifier width (0 = unpadded); see models/capnet.py
+    num_vocabs_padded: int = 0
 
     @property
     def num_proposals(self) -> int:
@@ -51,6 +53,7 @@ class CapNetPretrained(nn.Module):
         if cfg.use_topdown:
             d = TopDownSceneCaptionModule(
                 num_vocabs=self.num_vocabs,
+                num_vocabs_padded=self.num_vocabs_padded,
                 emb_size=cfg.emb_size, feat_size=128,
                 hidden_size=cfg.hidden_size,
                 num_proposals=self.num_proposals,
@@ -64,6 +67,7 @@ class CapNetPretrained(nn.Module):
         else:
             d = SceneCaptionModule(
                 num_vocabs=self.num_vocabs,
+                num_vocabs_padded=self.num_vocabs_padded,
                 emb_size=cfg.emb_size, feat_size=128,
                 hidden_size=cfg.hidden_size,
                 num_proposals=self.num_proposals,

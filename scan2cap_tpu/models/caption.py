@@ -101,6 +101,28 @@ def _gather_targets(x: jax.Array, target_ids: jax.Array) -> jax.Array:
     return jnp.take_along_axis(x, target_ids[:, None, None], axis=1)[:, 0]
 
 
+def _mask_pad_logits(logits: jax.Array, num_vocabs: int) -> jax.Array:
+    """Mask classifier columns past the real vocabulary with -1e30.
+
+    When the classifier is padded to a TP-friendly width (``padded_vocab``,
+    TPU_DESIGN §12: an output dim divisible by the mesh's "model" axis lets
+    XLA vocab-shard the projection instead of falling back to hidden-sharded
+    psums that scale with the batch), the pad columns must never influence
+    results.  -1e30 guarantees that: argmax never selects a pad id (real
+    logits are finitely small), and exp(-1e30 - max) underflows to exactly
+    0.0 in f32, so the pad columns contribute nothing to softmax/logsumexp.
+    The only remaining delta vs the unpadded model is f32 reassociation of
+    the WIDENED classifier matmul itself (the backend may tile an N=3456
+    gemm differently from N=3433 — last-ulp on CPU; the MXU's fixed
+    K-accumulation order makes same-inputs runs deterministic either way).
+    Masking (vs slicing) keeps the vocab axis at
+    its sharded width — a slice to 3433 of a 3456-wide vocab-sharded tensor
+    would force an all-gather of the very logits the padding de-shards."""
+    if logits.shape[-1] == num_vocabs:
+        return logits
+    return logits.at[..., num_vocabs:].set(-1e30)
+
+
 def _shard_targets(x: jax.Array) -> jax.Array:
     """Proposal-axis (tensor) parallelism hook for the eval decode: when an
     ambient mesh (jax.set_mesh) has a "model" axis, constrain the target-
@@ -126,11 +148,21 @@ class SceneCaptionModule(nn.Module):
     max_des_len: int = 30
     min_iou: float = 0.25
     eval_chunk: int = 32
+    # TP-friendly classifier width (0 = unpadded); see _mask_pad_logits
+    num_vocabs_padded: int = 0
 
     def setup(self):
+        if self.num_vocabs_padded and self.num_vocabs_padded < self.num_vocabs:
+            raise ValueError(
+                f"num_vocabs_padded={self.num_vocabs_padded} < "
+                f"num_vocabs={self.num_vocabs}")
         self.map_feat = nn.Dense(self.emb_size, name="map_feat")
         self.recurrent_cell = GRUCell(self.emb_size, name="recurrent_cell")
-        self.classifier = nn.Dense(self.num_vocabs, name="classifier")
+        self.classifier = nn.Dense(
+            self.num_vocabs_padded or self.num_vocabs, name="classifier")
+
+    def _class_logits(self, hidden: jax.Array) -> jax.Array:
+        return _mask_pad_logits(self.classifier(hidden), self.num_vocabs)
 
     def __call__(self, data_dict: dict, use_tf: bool = True,
                  is_eval: bool = False) -> dict:
@@ -147,7 +179,7 @@ class SceneCaptionModule(nn.Module):
         def step(carry, t):
             hidden, prev_input = carry
             hidden = self.recurrent_cell(prev_input, hidden)
-            logits = self.classifier(hidden)
+            logits = self._class_logits(hidden)
             if teacher_forcing:
                 nxt = word_embs[:, t + 1]
                 out = logits
@@ -231,8 +263,14 @@ class TopDownSceneCaptionModule(nn.Module):
     min_iou: float = 0.25
     overlay_threshold: float = 0.5
     eval_chunk: int = 32
+    # TP-friendly classifier width (0 = unpadded); see _mask_pad_logits
+    num_vocabs_padded: int = 0
 
     def setup(self):
+        if self.num_vocabs_padded and self.num_vocabs_padded < self.num_vocabs:
+            raise ValueError(
+                f"num_vocabs_padded={self.num_vocabs_padded} < "
+                f"num_vocabs={self.num_vocabs}")
         self.map_topdown = nn.Dense(self.emb_size, name="map_topdown")
         self.recurrent_cell_1 = GRUCell(self.hidden_size, name="recurrent_cell_1")
         self.map_feat = nn.Dense(self.hidden_size, use_bias=False, name="map_feat")
@@ -240,7 +278,11 @@ class TopDownSceneCaptionModule(nn.Module):
         self.attend = nn.Dense(1, use_bias=False, name="attend")
         self.map_lang = nn.Dense(self.emb_size, name="map_lang")
         self.recurrent_cell_2 = GRUCell(self.hidden_size, name="recurrent_cell_2")
-        self.classifier = nn.Dense(self.num_vocabs, name="classifier")
+        self.classifier = nn.Dense(
+            self.num_vocabs_padded or self.num_vocabs, name="classifier")
+
+    def _class_logits(self, hidden: jax.Array) -> jax.Array:
+        return _mask_pad_logits(self.classifier(hidden), self.num_vocabs)
 
     def __call__(self, data_dict: dict, use_tf: bool = True,
                  is_eval: bool = False) -> dict:
@@ -277,7 +319,7 @@ class TopDownSceneCaptionModule(nn.Module):
             lang_in = nn.relu(self.map_lang(
                 jnp.concatenate([attended, h1n], axis=-1)))
             h2n = self.recurrent_cell_2(lang_in, h2)
-            logits = self.classifier(h2n)
+            logits = self._class_logits(h2n)
             if teacher_forcing:
                 nxt = word_embs[:, t + 1]
                 out = logits
@@ -402,7 +444,7 @@ class TopDownSceneCaptionModule(nn.Module):
             lang_in = nn.relu(self.map_lang(
                 jnp.concatenate([attended, h1n], axis=-1)))
             h2n = self.recurrent_cell_2(lang_in, h2)
-            logits = self.classifier(h2n)
+            logits = self._class_logits(h2n)
             tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
             nxt = emb_table[tokens]
             return (h1n, h2n, nxt), (tokens, attn)
@@ -462,7 +504,7 @@ class TopDownSceneCaptionModule(nn.Module):
             lang_in = nn.relu(self.map_lang(
                 jnp.concatenate([attended, h1n], axis=-1)))
             h2n = self.recurrent_cell_2(lang_in, h2)
-            logits = self.classifier(h2n)
+            logits = self._class_logits(h2n)
             tokens = jnp.argmax(logits, axis=-1)                    # (B,kc)
             nxt = emb_table[tokens]
             return (h1n, h2n, nxt), (tokens, attn)

@@ -12,7 +12,11 @@ from scan2cap_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     batch_sharding,
+    caption_param_spec,
+    shard_train_state,
+    mesh_step_fn,
 )
 
 __all__ = ["make_mesh", "padded_vocab", "shard_batch", "replicate",
-           "batch_sharding"]
+           "batch_sharding", "caption_param_spec", "shard_train_state",
+           "mesh_step_fn"]

@@ -58,6 +58,60 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def caption_param_spec(path, leaf, n_model: int) -> P:
+    """Tensor-parallel PartitionSpec for one CapNet param leaf.
+
+    Caption decoder projections are the only params worth sharding at this
+    model size (TPU_DESIGN §12): the classifier's output (vocab) axis when
+    divisible by the model axis — pair with ``padded_vocab`` /
+    ``CapNet(num_vocabs_padded=...)`` so it is — else its hidden axis, and
+    the attention projections' hidden axis.  Everything else replicates
+    (detection params are small and feed data-parallel compute)."""
+    keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if "caption" in keys and leaf.ndim == 2:
+        if "classifier" in keys:
+            if leaf.shape[1] % n_model == 0:
+                return P(None, "model")   # vocab-sharded output projection
+            if leaf.shape[0] % n_model == 0:
+                return P("model", None)   # hidden-sharded (psum of partials)
+        if any(k in keys for k in ("map_feat", "map_hidd")) \
+                and leaf.shape[1] % n_model == 0:
+            return P(None, "model")       # hidden-sharded attention proj
+    return P()
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh: caption params TP-sharded over the
+    "model" axis (caption_param_spec), everything else replicated.
+
+    opt_state starts replicated — at this model size (6.2M params) the
+    redundancy is ~25 MB/device; after the first jitted step XLA's sharding
+    propagation re-lays it out to match the gradients anyway."""
+    n_model = dict(mesh.shape).get("model", 1)
+    param_sharding = jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, caption_param_spec(p, x, n_model)),
+        state.params)
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        params=jax.tree.map(jax.device_put, state.params, param_sharding),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl))
+
+
+def mesh_step_fn(step_fn, mesh: Mesh):
+    """Wrap a jitted (state, batch, *args) -> ... step so the Solver can run
+    it unchanged over a mesh: each call shards the batch's scene axis over
+    "data" (global arrays replicated) and executes under ``jax.set_mesh`` so
+    with_sharding_constraint hooks (e.g. the caption eval decode's proposal-
+    axis TP) see the ambient mesh."""
+    def wrapped(state, batch, *args):
+        sbatch = shard_batch(batch, mesh)
+        with jax.set_mesh(mesh):
+            return step_fn(state, sbatch, *args)
+    return wrapped
+
+
 # keys that are global (unbatched) and must be replicated
 _REPLICATED_KEYS = frozenset({"glove_emb_table"})
 

@@ -41,6 +41,11 @@ def parse_args():
                    help="storage-only bfloat16: layer-boundary activation "
                         "buffers half-width, all matmul/BN compute f32 "
                         "(gated by --bf16_components; subsumed by --bf16)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="run the train/eval steps over a (data, model) "
+                        "device mesh, e.g. 8,1 (DP) or 4,2 (DP+TP); with "
+                        "MODEL>1 the caption classifier is auto-padded to a "
+                        "TP-friendly width (parallel.padded_vocab)")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--use_pretrained", type=str, default=None,
@@ -86,7 +91,21 @@ def main():
     # the full flagship cloud would be ~170 MB/batch over this host link
     jbatches = [stage_scene_batch(b, mcfg) for b in batches]
 
-    model = CapNet(mcfg, num_vocabs=128)
+    mesh = None
+    vocab_pad = 0
+    if args.mesh:
+        from scan2cap_tpu.parallel import (make_mesh, mesh_step_fn,
+                                           padded_vocab, shard_batch,
+                                           shard_train_state)
+        n_data, n_model = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        if n_model > 1:
+            vocab_pad = padded_vocab(128, n_model)
+        print(f"mesh: data={n_data} model={n_model}"
+              f"{f' vocab padded 128->{vocab_pad}' if vocab_pad else ''}",
+              flush=True)
+
+    model = CapNet(mcfg, num_vocabs=128, num_vocabs_padded=vocab_pad)
     state = create_train_state(cfg, model, jbatches[0],
                                jax.random.PRNGKey(args.seed))
     if args.use_pretrained:
@@ -96,6 +115,10 @@ def main():
               flush=True)
     step = make_train_step(cfg, model, detection=True,
                            caption=args.caption, donate=False)
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+        jbatches = [shard_batch(b, mesh) for b in jbatches]
+        step = mesh_step_fn(step, mesh)
     lr = jnp.asarray(args.lr)
     mom = jnp.asarray(0.1)
 
@@ -120,6 +143,8 @@ def main():
 
     # held-out synthetic batch -> detection mAP
     eval_step = make_eval_step(cfg, model)
+    if mesh is not None:
+        eval_step = mesh_step_fn(eval_step, mesh)
     out = eval_step(state, jbatches[-1])
     # include the input cloud so the remove_empty_box filter is active
     parsed = jax.device_get(parse_predictions_device(

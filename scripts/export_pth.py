@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--detection_only", action="store_true",
                    help="export only backbone_net/vgen/proposal even when "
                         "the run holds a full CapNet")
+    p.add_argument("--num_vocabs", type=int, default=0,
+                   help="real vocabulary size: slice a vocab-padded run's "
+                        "classifier (CapNet num_vocabs_padded) back to the "
+                        "reference width before export")
     return p.parse_args()
 
 
@@ -60,7 +64,8 @@ def main():
             and ("caption" in params or "graph" in params))
     if full:
         out = args.out or os.path.join(folder, "model.pth")
-        sd = export_capnet_checkpoint(params, stats, out)
+        sd = export_capnet_checkpoint(params, stats, out,
+                                      num_vocabs=args.num_vocabs or None)
         kind = "full model"
     else:
         out = args.out or os.path.join(folder, "votenet.pth")
