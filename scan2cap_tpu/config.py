@@ -140,6 +140,12 @@ class ModelConfig:
     # which backbone modules the narrow dtype applies to (bisection knob
     # for the bf16 quality study, TPU_DESIGN §8; ignored at float32)
     bf16_components: str = "sa1,sa2,sa3,sa4,fp"
+    # point-axis (spatial) sharding: name of a mesh axis to split the SA
+    # layers' query-center axis over (SURVEY §5.7; parallel/spatial.py
+    # shard_map wrappers resolve the AMBIENT jax.set_mesh mesh).  Scales
+    # scene size past one chip's FLOPs/HBM; "" = off.  Every sa_npoints
+    # entry must divide by the axis size.
+    spatial_axis: str = ""
 
     @property
     def input_feature_dim(self) -> int:

@@ -35,6 +35,12 @@ from scan2cap_tpu.ops import (
     three_interpolate,
 )
 from scan2cap_tpu.ops.interpolate import interpolation_weights
+from scan2cap_tpu.parallel.spatial import (
+    ball_query_sharded,
+    group_points_sharded,
+    leaf_gathered_projection_sharded,
+    query_and_group_sharded,
+)
 
 
 @jax.custom_vjp
@@ -86,6 +92,13 @@ class PointnetSAModuleVotes(nn.Module):
     # NOT set on layers fed by earlier layers (their feature grads would be
     # silently dropped).
     leaf_inputs: bool = False
+    # Point-axis sharding (SURVEY §5.7 / VERDICT r4 #3): name of an ambient-
+    # mesh axis to split the QUERY-CENTER axis over — ball query + grouping
+    # run per-shard via shard_map (parallel/spatial.py) and the downstream
+    # MLP/BN inherits the sharded layout from XLA's propagation.  FPS stays
+    # replicated (serial scan; zero collectives — see parallel/spatial.py).
+    # "" = off.  Requires npoint % axis_size == 0.
+    spatial_axis: str = ""
 
     @nn.compact
     def __call__(
@@ -127,7 +140,10 @@ class PointnetSAModuleVotes(nn.Module):
             # pointnet2_modules.py:210-272 up to f32 reassociation.  Only
             # worth it when the projection is NARROWER than the input (xyz-
             # only configs gather 4ch raw rows — keep those as-is).
-            idx = ball_query(xyz, new_xyz, self.radius, self.nsample)
+            sp = self.spatial_axis
+            idx = (ball_query_sharded(xyz, new_xyz, self.radius,
+                                      self.nsample, axis=sp) if sp
+                   else ball_query(xyz, new_xyz, self.radius, self.nsample))
             scale = 1.0 / self.radius if self.normalize_xyz else 1.0
             feats_f = (features.astype(jnp.float32)
                        if features is not None else None)
@@ -144,11 +160,16 @@ class PointnetSAModuleVotes(nn.Module):
                 # eye probe materializes the bias-free Dense_0 kernel so the
                 # custom VJP can route the weight gradient
                 w0 = mlp_mod.project_first(jnp.eye(in_width, dtype=xyz_s.dtype))
-                g = _leaf_gathered_projection(cat, ct_in, w0, idx)
+                g = (leaf_gathered_projection_sharded(
+                         _leaf_gathered_projection, cat, ct_in, w0, idx,
+                         axis=sp) if sp
+                     else _leaf_gathered_projection(cat, ct_in, w0, idx))
             else:
                 proj = mlp_mod.project_first(cat)        # (B, N, w0)
                 ct = mlp_mod.project_first(ct_in)        # (B, npoint, w0)
-                g = group_points(proj, idx) - ct[:, :, None, :]
+                gathered = (group_points_sharded(proj, idx, axis=sp) if sp
+                            else group_points(proj, idx))
+                g = gathered - ct[:, :, None, :]
             if self.compute_dtype is not None:
                 # relative-scale values only from here on: safe to narrow
                 g = g.astype(jnp.dtype(self.compute_dtype))
@@ -159,10 +180,14 @@ class PointnetSAModuleVotes(nn.Module):
                 g = g.astype(jnp.dtype(self.storage_dtype))
             out = mlp_mod.from_first(g, train, bn_momentum)
         else:
-            grouped = query_and_group(
+            grouped = (query_and_group_sharded(
+                xyz, new_xyz, feats_in, self.radius, self.nsample,
+                axis=self.spatial_axis, use_xyz=self.use_xyz,
+                normalize_xyz=self.normalize_xyz,
+            ) if self.spatial_axis else query_and_group(
                 xyz, new_xyz, feats_in, self.radius, self.nsample,
                 use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
-            )                                 # (B, npoint, nsample, [3+]C)
+            ))                                # (B, npoint, nsample, [3+]C)
             # (no leaf_inputs handling here: with no parameters upstream of
             # the gather, autodiff never generates the scatter backward)
             if self.compute_dtype is not None:
@@ -217,6 +242,9 @@ class Pointnet2Backbone(nn.Module):
     # per-module gate for the narrow dtype ("sa1,...,fp"): the bf16 quality
     # bisection (TPU_DESIGN §8) narrows one module group at a time
     bf16_components: str = "sa1,sa2,sa3,sa4,fp"
+    # point-axis sharding: mesh axis name for the SA query-center split
+    # (see PointnetSAModuleVotes.spatial_axis); "" = off
+    spatial_axis: str = ""
 
     @nn.compact
     def __call__(self, data_dict: dict, train: bool = True,
@@ -238,22 +266,25 @@ class Pointnet2Backbone(nn.Module):
         # leaves) — safe to drop their gradients for the scatter-free backward
         xyz, features, inds = PointnetSAModuleVotes(
             np1, 0.2, 64, (64, 64, 128), compute_dtype=dt["sa1"], storage_dtype=st["sa1"],
-            leaf_inputs=True, name="sa1")(
+            leaf_inputs=True, spatial_axis=self.spatial_axis, name="sa1")(
                 xyz, features, None, train, bn_momentum)
         d["sa1_inds"], d["sa1_xyz"], d["sa1_features"] = inds, xyz, features
 
         xyz, features, inds = PointnetSAModuleVotes(
-            np2, 0.4, 32, (128, 128, 256), compute_dtype=dt["sa2"], storage_dtype=st["sa2"], name="sa2")(
+            np2, 0.4, 32, (128, 128, 256), compute_dtype=dt["sa2"], storage_dtype=st["sa2"],
+            spatial_axis=self.spatial_axis, name="sa2")(
                 xyz, features, None, train, bn_momentum)
         d["sa2_inds"], d["sa2_xyz"], d["sa2_features"] = inds, xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np3, 0.8, 16, (128, 128, 256), compute_dtype=dt["sa3"], storage_dtype=st["sa3"], name="sa3")(
+            np3, 0.8, 16, (128, 128, 256), compute_dtype=dt["sa3"], storage_dtype=st["sa3"],
+            spatial_axis=self.spatial_axis, name="sa3")(
                 xyz, features, None, train, bn_momentum)
         d["sa3_xyz"], d["sa3_features"] = xyz, features
 
         xyz, features, _ = PointnetSAModuleVotes(
-            np4, 1.2, 16, (128, 128, 256), compute_dtype=dt["sa4"], storage_dtype=st["sa4"], name="sa4")(
+            np4, 1.2, 16, (128, 128, 256), compute_dtype=dt["sa4"], storage_dtype=st["sa4"],
+            spatial_axis=self.spatial_axis, name="sa4")(
                 xyz, features, None, train, bn_momentum)
         d["sa4_xyz"], d["sa4_features"] = xyz, features
 

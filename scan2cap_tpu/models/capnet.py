@@ -53,6 +53,7 @@ class CapNet(nn.Module):
                               compute_dtype,
                               storage_dtype=storage_dtype,
                               bf16_components=cfg.bf16_components,
+                              spatial_axis=getattr(cfg, "spatial_axis", ""),
                               name="backbone_net")(
             data_dict, train, bn_momentum)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -25,6 +26,28 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
+
+
+def parse_mesh(spec: str, devices=None) -> Mesh:
+    """Build a mesh from a CLI ``--mesh DATA,MODEL`` string (e.g. ``8,1`` for
+    pure data parallelism, ``4,2`` for DP+TP); ``DATA`` alone means
+    ``DATA,1``.  Fails loudly when the host exposes fewer devices than the
+    mesh asks for (the production trainer must not silently fall back to a
+    sub-mesh the user didn't request)."""
+    parts = [int(x) for x in spec.split(",")]
+    if len(parts) == 1:
+        parts.append(1)
+    if len(parts) != 2 or min(parts) < 1:
+        raise ValueError(f"--mesh expects DATA,MODEL with both >= 1; "
+                         f"got {spec!r}")
+    n_data, n_model = parts
+    if devices is None:
+        devices = jax.devices()
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"--mesh {spec} needs {n_data * n_model} devices; only "
+            f"{len(devices)} available ({devices[0].platform})")
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 
 def padded_vocab(num_vocabs: int, n_model: int, multiple: int = 128) -> int:
@@ -121,8 +144,53 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]
     global arrays replicated."""
     data_s = batch_sharding(mesh)
     repl = replicate(mesh)
+    n_data = dict(mesh.shape)["data"]
     out = {}
     for k, v in batch.items():
-        s = repl if (k in _REPLICATED_KEYS or np.ndim(v) == 0) else data_s
-        out[k] = jax.device_put(v, s)
+        if k in _REPLICATED_KEYS or np.ndim(v) == 0:
+            out[k] = jax.device_put(v, repl)
+            continue
+        if v.shape[0] % n_data != 0:
+            raise ValueError(
+                f"batch[{k!r}] scene axis {v.shape[0]} is not divisible by "
+                f"the mesh data axis ({n_data}); use a divisible batch size "
+                f"(train) or mesh_eval_fn's padding (eval)")
+        out[k] = jax.device_put(v, data_s)
     return out
+
+
+def mesh_eval_fn(step_fn, mesh: Mesh):
+    """Wrap a jitted eval step (state, batch, *args) -> dict for mesh
+    execution that tolerates uneven final batches (val loaders use
+    drop_last=False): the scene axis is padded up to a multiple of the
+    "data" axis by tiling the last scene, the step runs under the mesh, and
+    per-scene outputs are sliced back to the true batch.  Exact: every eval
+    output in make_eval_step's keep_keys is per-scene (detection-loss
+    assignment pairs within a scene) and eval-mode BN uses running stats, so
+    pad scenes cannot influence real ones."""
+    n_data = dict(mesh.shape)["data"]
+
+    def wrapped(state, batch, *args):
+        sizes = {np.shape(v)[0] for k, v in batch.items()
+                 if k not in _REPLICATED_KEYS and np.ndim(v) > 0}
+        assert len(sizes) == 1, f"inconsistent batch leading axes: {sizes}"
+        bsz = sizes.pop()
+        pad = (-bsz) % n_data
+        if pad:
+            batch = {
+                k: (v if k in _REPLICATED_KEYS or np.ndim(v) == 0
+                    else jnp.concatenate(
+                        [jnp.asarray(v),
+                         jnp.repeat(jnp.asarray(v)[-1:], pad, axis=0)]))
+                for k, v in batch.items()}
+        sbatch = shard_batch(batch, mesh)
+        with jax.set_mesh(mesh):
+            out = step_fn(state, sbatch, *args)
+        if pad:
+            out = jax.tree.map(
+                lambda x: (x[:bsz]
+                           if np.ndim(x) > 0 and np.shape(x)[0] == bsz + pad
+                           else x), out)
+        return out
+
+    return wrapped

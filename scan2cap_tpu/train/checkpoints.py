@@ -32,11 +32,23 @@ def _to_numpy(tree):
 
 
 def _abstract(tree):
-    """Shape/dtype skeleton of a pytree WITHOUT device→host transfers —
-    np.asarray on a live parameter tree would pull every array over the
-    (slow) host link just to tell orbax its structure."""
+    """Shape/dtype(/sharding) skeleton of a pytree WITHOUT device→host
+    transfers — np.asarray on a live parameter tree would pull every array
+    over the (slow) host link just to tell orbax its structure.
+
+    Mesh-sharded targets keep their NamedSharding: orbax then restores each
+    shard straight to its device instead of materializing a host replica
+    first (the sharded-resume contract — save on a (4,2) mesh, restore into
+    (4,2) or any other mesh shape; the on-disk form is the unsharded numpy
+    tree, so shape changes need no resharding pass)."""
+    from jax.sharding import NamedSharding
+
     def leaf(x):
         if hasattr(x, "shape") and hasattr(x, "dtype"):
+            sharding = getattr(x, "sharding", None)
+            if isinstance(sharding, NamedSharding):
+                return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype,
+                                            sharding=sharding)
             return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype)
         x = np.asarray(x)
         return jax.ShapeDtypeStruct(x.shape, x.dtype)

@@ -38,6 +38,13 @@ def parse_args():
                         "the folder checkpoint: a converted torch .pth "
                         "(the reference's --eval_pretrained) or a run name")
     p.add_argument("--force", action="store_true")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="run the eval step over a (data, model) device "
+                        "mesh: scenes shard over DATA (uneven final "
+                        "batches are padded and sliced back — exact), the "
+                        "caption decode's proposal axis over MODEL; token "
+                        "ids are bitwise-identical to single-device "
+                        "(tests/test_parallel_eval.py)")
     p.add_argument("--save_interm", action="store_true",
                    help="dump per-object boxes/captions/attention to "
                         "interm.json (reference --save_interm, "
@@ -96,7 +103,12 @@ def evaluate(args):
     val_loader = Loader(val_ds, args.batch_size, shuffle=False,
                         seed=args.seed, drop_last=False)
 
-    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    # a mesh-trained checkpoint carries a TP-padded classifier; rebuild the
+    # same width so the restore target matches (pad columns are masked to
+    # -1e30 — single-device eval semantics are unchanged)
+    vocab_pad = int(info.get("num_vocabs_padded", 0) or 0)
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,
+                   num_vocabs_padded=vocab_pad)
     example = next(iter(val_loader))
     example = {k: jnp.asarray(v) for k, v in example.items()}
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
@@ -135,6 +147,17 @@ def evaluate(args):
               "--eval_caption; ignoring it")
         args.save_interm = False
     eval_step = make_eval_step(cfg, model, keep_attn=args.save_interm)
+
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from scan2cap_tpu.parallel import mesh_eval_fn, parse_mesh
+
+        mesh = parse_mesh(args.mesh)
+        # eval params replicate (the decode shards its PROPOSAL axis over
+        # "model" via the ambient mesh — no vocab padding needed here)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        eval_step = mesh_eval_fn(eval_step, mesh)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
 
     if args.eval_caption:
         with open(os.path.join(paths.data,

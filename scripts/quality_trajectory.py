@@ -69,6 +69,14 @@ def parse_args():
     p.add_argument("--bf16_storage", action="store_true",
                    help="storage-only bfloat16 backbone buffers (quality "
                         "gate for the storage-dtype experiment)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="train over a (data, model) device mesh — the mesh "
+                        "quality-trajectory gate (VERDICT r4 #5): run the "
+                        "tiny config on the 8-virtual-CPU mesh "
+                        "(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                        "platform_device_count=8) so mesh training gets the "
+                        "same silent-regression guard single-device "
+                        "training has")
     args = p.parse_args()
     if args.seeds and len(args.seeds.split(",")) > 1:
         if not (args.out and "{seed}" in args.out):
@@ -133,10 +141,29 @@ def main():
     jax.block_until_ready(jbatches)
     print(f"staged in {time.time() - t0:.0f}s", flush=True)
 
-    model = CapNet(mcfg, num_vocabs=128)
+    mesh = None
+    vocab_pad = 0
+    if args.mesh:
+        from scan2cap_tpu.parallel import (mesh_eval_fn, mesh_step_fn,
+                                           padded_vocab, parse_mesh,
+                                           shard_train_state)
+        mesh = parse_mesh(args.mesh)
+        n_model = dict(mesh.shape)["model"]
+        if args.batch_size % dict(mesh.shape)["data"] != 0:
+            raise SystemExit("--batch_size must divide the mesh data axis")
+        if n_model > 1:
+            vocab_pad = padded_vocab(128, n_model)
+        print(f"mesh: {dict(mesh.shape)}"
+              + (f" vocab padded 128->{vocab_pad}" if vocab_pad else ""),
+              flush=True)
+
+    model = CapNet(mcfg, num_vocabs=128, num_vocabs_padded=vocab_pad)
     step = make_train_step(cfg, model, detection=True, caption=True,
                            orientation=True, donate=False)
     eval_step = make_eval_step(cfg, model)
+    if mesh is not None:
+        step = mesh_step_fn(step, mesh)
+        eval_step = mesh_eval_fn(eval_step, mesh)
     # caption gate at IoU 0.25 (vs the benchmark's 0.5): the trajectory
     # scores only ~32 synthetic scenes, and at 0.5 a handful of borderline
     # boxes flipping across the gate makes the CiDEr curve useless as a
@@ -192,6 +219,8 @@ def main():
     def run_seed(seed):
         state = create_train_state(cfg, model, jbatches[0],
                                    jax.random.PRNGKey(seed))
+        if mesh is not None:
+            state = shard_train_state(state, mesh)
         curve = {"step": [], "loss": [], "cap_loss": [], "cap_acc": [],
                  "map25": [], "ar25": [], "cider_train": []}
 
@@ -228,7 +257,7 @@ def main():
                        "batch_size": args.batch_size, "steps": args.steps,
                        "num_batches": args.num_batches,
                        "eval_batches": args.eval_batches, "lr": args.lr,
-                       "seed": seed,
+                       "seed": seed, "mesh": args.mesh,
                        "flagship": not args.tiny},
             "platform": jax.devices()[0].platform,
             "curve": curve,
