@@ -116,7 +116,72 @@ def measure_train(cfg, model, vocab, emb_table):
     return B / dt, dt * 1e3
 
 
-def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8):
+def _mlp_bn_chains(B, M, S, dtype=jnp.float32):
+    """Functional replicas of the backbone's four SA MLP/BN chains — the
+    HBM-bound tail the round-4 floors digest left unaccounted (VERDICT r4
+    #4).  Same op mix as SharedMLP: sa1 enters at its post-gather layer-0
+    pre-activations (the gather-lean from_first path), sa2-4 at their
+    grouped (3+C)-wide inputs; each layer is dense -> BN -> relu, then the
+    max over the sample axis.  At the default (M=2048, S=64) the shapes are
+    exactly the backbone's (2048,64)/(1024,32)/(512,16)/(256,16) pyramid.
+
+    Returns (inputs, weights, fwd_fn, hbm_bytes_eval): the byte count is the
+    boundary-buffer model — every inter-layer tensor written once + read
+    once, chain inputs read once, max outputs written once (weights are KBs,
+    ignored).  Train traffic is modeled at 2.5x (per boundary: fwd
+    write+read; bwd cotangent write+read + one saved-activation read).
+    ``fwd_fn(xs, wss, train)``: train=True computes real batch-stat BN
+    (mean/var reductions), eval folds BN to scale/shift as XLA does with
+    running stats."""
+    specs = [  # (M, S, in_width, mlp widths, skip_first_dense)
+        (M, S, 64, (64, 64, 128), True),          # sa1 from_first
+        (M // 2, max(S // 2, 1), 3 + 128, (128, 128, 256), False),
+        (M // 4, max(S // 4, 1), 3 + 256, (128, 128, 256), False),
+        (M // 8, max(S // 4, 1), 3 + 256, (128, 128, 256), False),
+    ]
+    key = jax.random.PRNGKey(5)
+    itemsize = jnp.dtype(dtype).itemsize
+    inputs, weights, nbytes = [], [], 0
+    for m, s, cin, widths, skip in specs:
+        k1, k2, key = jax.random.split(key, 3)
+        inputs.append(jax.random.normal(k1, (B, m, s, cin), dtype))
+        ws, w_prev = [], cin
+        for j, w in enumerate(widths):
+            if skip and j == 0:
+                continue              # sa1: layer 0 already applied upstream
+            ws.append(jax.random.normal(jax.random.fold_in(k2, j),
+                                        (w_prev, w), dtype) * 0.05)
+            w_prev = w
+        weights.append(ws)
+        nbytes += B * m * s * cin * itemsize              # input read
+        for j, w in enumerate(widths[:-1]):
+            nbytes += 2 * B * m * s * w * itemsize        # boundary w+r
+        nbytes += 2 * B * m * s * widths[-1] * itemsize   # last boundary
+        nbytes += B * m * widths[-1] * itemsize           # max output write
+
+    def _bn_relu(x, train):
+        if train:   # real batch-stat BN: mean/var reductions over (B, M, S)
+            mu = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))
+            x = (x - mu) * jax.lax.rsqrt(var + 1e-5) * 1.01 + 0.01
+        else:       # eval: running stats fold to scale/shift (fused by XLA)
+            x = x * 1.01 + 0.01
+        return jnp.maximum(x, 0.0)
+
+    def fwd(xs, wss, train):
+        outs = []
+        for x, ws in zip(xs, wss):
+            x = _bn_relu(x, train)
+            for w in ws:
+                x = _bn_relu(x @ w, train)
+            outs.append(jnp.max(x, axis=2))
+        return outs
+
+    return inputs, weights, fwd, nbytes
+
+
+def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
+                   train_step_ms=None):
     """Live per-op floor accounting for the three dominant eval-path ops at
     the B=16 sa1 shapes (VERDICT r2 item 9: the perf-is-closed claim must be
     auditable from the bench artifact alone).
@@ -190,16 +255,95 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8):
                               jnp.arange(REP, dtype=jnp.int32))
         return acc
 
+    # sa1 backward dW gather: the custom-VJP backward gathers the RAW
+    # (3+C)-wide table and contracts it with the output cotangent
+    # (backbone._lgp_bwd) — the second of the two per-step sa1 gathers the
+    # train accounting needs (§6c: 29.6 ms fwd + 32.9 ms dW at B16)
+    cin_raw = 135                      # 3 + flagship input_feature_dim (132)
+    table_raw = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (B, N, cin_raw)) * 0.1)(key))
+    gcot = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (B, M, S, 64)) * 0.1)(key))
+
+    def dw_rep(t, idx, gc, salt):
+        def body(acc, i):
+            gath = group_points(t, (idx + i) % N)
+            dW = jnp.einsum("bmsc,bmsd->cd", gath,
+                            gc * (1.0 + (acc + salt) * 1e-12))
+            return acc + jnp.sum(dW) * 1e-6, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.int32))
+        return acc
+
+    # live HBM bandwidth: one streamed elementwise pass (read + write) over
+    # an sa1-activation-sized buffer, carried through the scan so every rep
+    # really touches the whole array — the denominator the BN/MLP floors
+    # convert bytes into (VERDICT r4 #4)
+    stream = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (B * M, S * 64)))(key))
+    stream_bytes = 2 * stream.size * 4          # read + write per rep
+
+    def bw_rep(x, salt):
+        def body(y, i):
+            return y * 1.0000001 + (salt + i) * 1e-12, None
+        y, _ = jax.lax.scan(body, x, jnp.arange(REP, dtype=jnp.float32))
+        return jnp.float32(jnp.sum(y[::257, ::129]))
+
+    # BN/MLP chains (the four SA pyramids); weights perturbed per rep (KBs)
+    # so no two reps fold together while the big activations stay untouched
+    xs, wss, chain_fwd, chain_bytes = _mlp_bn_chains(B, M, S)
+    xs = jax.block_until_ready(xs)
+
+    def mlp_eval_rep(xs, wss, salt):
+        def body(acc, i):
+            wp = jax.tree.map(
+                lambda w: w * (1.0 + (acc + salt + i) * 1e-12), wss)
+            outs = chain_fwd(xs, wp, False)
+            return jnp.float32(sum(jnp.sum(o[:, ::64, 0]) for o in outs)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    def mlp_train_rep(xs, wss, salt):
+        def body(acc, i):
+            wp = jax.tree.map(
+                lambda w: w * (1.0 + (acc + salt + i) * 1e-12), wss)
+
+            def loss(ws):
+                outs = chain_fwd(xs, ws, True)
+                return sum(jnp.sum(o) for o in outs) * 1e-6
+            l, g = jax.value_and_grad(loss)(wp)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            return jnp.float32(l + gsum * 1e-9), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
     def entry(measured, floor, basis):
         return {"measured_ms": round(measured, 2), "floor_ms": floor,
                 "ratio": round(measured / floor, 2) if floor > 0 else None,
                 "floor_basis": basis}
 
+    bw_ms = timed(bw_rep, stream)
+    hbm_gbps = (stream_bytes / (bw_ms * 1e-3) / 1e9) if bw_ms > 0 else None
+    mlp_eval_ms = timed(mlp_eval_rep, xs, wss)
+    mlp_train_ms = timed(mlp_train_rep, xs, wss)
+
+    def bytes_floor(nbytes):
+        return (round(nbytes / (hbm_gbps * 1e9) * 1e3, 1)
+                if hbm_gbps else 0.0)
+
     slices = B * M * S
-    return {
+    res = {
         "shapes": f"B={B} N={N} M={M} S={S} (sa1 eval config)",
         "dispatch_overhead_ms": round(overhead_s * 1e3, 1),
         "rep": REP,
+        "hbm": {
+            "measured_gbps": round(hbm_gbps, 1) if hbm_gbps else None,
+            "stream_mb_per_rep": round(stream_bytes / 1e6, 1),
+            "basis": "streamed elementwise read+write over an sa1-sized "
+                     "buffer, carried through a lax.scan; the effective "
+                     "bandwidth the BN/MLP byte floors divide by"},
         "fps": entry(
             timed(fps_rep, xyz), 7.0,
             "~19 full-tile VPU passes/iter x 2048 dependent iterations at "
@@ -215,7 +359,53 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8):
             round(slices * 13e-9 * 1e3, 1),
             f"{slices/1e6:.1f}M slices x ~13 ns/slice measured HBM gather "
             "floor (TPU_DESIGN §6b)"),
+        "sa1_dw_gather": entry(
+            timed(dw_rep, table_raw, gidx, gcot),
+            round(slices * 13e-9 * 1e3, 1),
+            f"{slices/1e6:.1f}M slices of the raw {cin_raw}-wide table x "
+            "~13 ns/slice (same per-slice floor; the dW einsum's MXU work "
+            "is ~1.4 ms and partially hides under the gather DMA — "
+            "TPU_DESIGN §6c)"),
+        "mlp_bn_eval": entry(
+            mlp_eval_ms, bytes_floor(chain_bytes),
+            f"{chain_bytes/1e9:.2f} GB of layer-boundary traffic (every "
+            "inter-layer tensor written+read once, inputs read, max outputs "
+            "written) across the four SA MLP/BN chains / the live-measured "
+            "HBM stream bandwidth; MXU time is ~3x smaller at these widths"),
+        "mlp_bn_train": entry(
+            mlp_train_ms, bytes_floor(chain_bytes * 2.5),
+            "2.5x the eval boundary bytes (per boundary: fwd write+read; "
+            "bwd cotangent write+read + one saved-activation read) / "
+            "live-measured HBM bandwidth; includes batch-stat BN "
+            "reductions and weight-gradient contractions"),
     }
+
+    # step coverage (VERDICT r4 #4: floors must account for >=90% of the
+    # measured step so "dense and at floor" is certified, not inferred)
+    train_sum = (res["fps"]["measured_ms"] + res["ball_query"]["measured_ms"]
+                 + res["sa1_gather"]["measured_ms"]
+                 + res["sa1_dw_gather"]["measured_ms"]
+                 + res["mlp_bn_train"]["measured_ms"])
+    eval_sum = (res["fps"]["measured_ms"] + res["ball_query"]["measured_ms"]
+                + res["sa1_gather"]["measured_ms"]
+                + res["mlp_bn_eval"]["measured_ms"])
+    res["accounted"] = {
+        "train_step": {
+            "sum_ms": round(train_sum, 1),
+            "step_ms": train_step_ms,
+            "coverage": (round(train_sum / train_step_ms, 2)
+                         if train_step_ms else None),
+            "note": "fps + bq + sa1 fwd/dW gathers + BN/MLP fwd+bwd tail vs "
+                    "the B16 train step measured in THIS run"},
+        "eval_detection": {
+            "sum_ms": round(eval_sum, 1),
+            "step_ms_ref": 87.0,
+            "coverage": round(eval_sum / 87.0, 2),
+            "note": "vs the B16 detection pass (TPU_DESIGN §6c; the eval "
+                    "headline runs B8 and adds the ~21 ms latency-bound "
+                    "decode, which has no bandwidth floor)"},
+    }
+    return res
 
 
 def main():
@@ -315,7 +505,7 @@ def main():
 
     floors = None
     if os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0":
-        floors = measure_floors()
+        floors = measure_floors(train_step_ms=train_ms)
 
     print(json.dumps({
         "metric": "eval_scenes_per_sec_chip",

@@ -29,7 +29,15 @@ B, N, M = 16, 40000, 2048
 REP = 8
 
 
-def timed(make_fn, steps=4):
+def timed(make_fn, steps=4, overhead_s=0.0):
+    """Per-rep kernel ms, NET of the host dispatch+readback overhead.
+
+    Convention reconciliation (VERDICT r4 weak #6): bench.py's floors digest
+    subtracts the ~28 ms tunnel dispatch before dividing by REP; this
+    script's round-3/4 figures did NOT, so they read overhead/REP ≈ 3.5 ms
+    HIGH (e.g. the pair-scan 12.15 ms quote = 8.61 ms net + 28.3/8) while
+    the per-variant DELTAS were unaffected.  Both harnesses now report the
+    net number; docs/TPU_DESIGN.md §10 carries the conversion."""
     fn = jax.jit(make_fn)
     float(fn(jnp.float32(0)))
     ts = []
@@ -37,7 +45,7 @@ def timed(make_fn, steps=4):
         t0 = time.perf_counter()
         float(fn(jnp.float32((s + 1) * 1e-9)))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / REP * 1e3
+    return max(0.0, float(np.median(ts)) - overhead_s) / REP * 1e3
 
 
 def main():
@@ -71,15 +79,20 @@ def main():
     assert (a == d).all(), "carry_coords variant disagrees on device!"
     print("variant parity: exact")
 
-    t_old = timed(rep(False))
+    # dispatch+readback overhead of the timed call itself (a trivial jitted
+    # program's wall time IS the overhead; ~28 ms over this tunnel)
+    ov = timed(lambda salt: salt + 1.0) * REP * 1e-3
+    print(f"dispatch overhead: {ov * 1e3:.1f} ms (subtracted)")
+
+    t_old = timed(rep(False), overhead_s=ov)
     print(f"two-pass (pre-tuning):  {t_old:7.2f} ms")
-    t_new = timed(rep(True))
+    t_new = timed(rep(True), overhead_s=ov)
     print(f"validity-fold (tuned):  {t_new:7.2f} ms  "
           f"({(t_old / t_new - 1) * 100:+.1f}%)")
-    t_pair = timed(rep(True, pair=True))
+    t_pair = timed(rep(True, pair=True), overhead_s=ov)
     print(f"fold + pair-scan:       {t_pair:7.2f} ms  "
           f"({(t_new / t_pair - 1) * 100:+.1f}% vs fold)")
-    t_cc = timed(rep(True, pair=True, carry=True))
+    t_cc = timed(rep(True, pair=True, carry=True), overhead_s=ov)
     print(f"fold + pair + coords:   {t_cc:7.2f} ms  "
           f"({(t_pair / t_cc - 1) * 100:+.1f}% vs pair-scan)")
 

@@ -61,10 +61,12 @@ def test_measure_floors_structure(bench_mod):
     ratio, a basis string per op, and the subtracted dispatch overhead;
     exercised at toy shapes on CPU (where overhead can exceed the op cost,
     so measured_ms may legitimately clamp to 0)."""
-    floors = bench_mod.measure_floors(B=2, N=512, M=64, S=8, REP=2)
+    floors = bench_mod.measure_floors(B=2, N=512, M=64, S=8, REP=2,
+                                      train_step_ms=100.0)
     assert floors["dispatch_overhead_ms"] >= 0
     assert floors["rep"] == 2
-    for op in ("fps", "ball_query", "sa1_gather"):
+    for op in ("fps", "ball_query", "sa1_gather", "sa1_dw_gather",
+               "mlp_bn_eval", "mlp_bn_train"):
         assert floors[op]["measured_ms"] >= 0
         assert "floor_ms" in floors[op]
         if floors[op]["floor_ms"] > 0:
@@ -73,6 +75,13 @@ def test_measure_floors_structure(bench_mod):
         else:  # toy shapes can round the slice-count floor to 0.0
             assert floors[op]["ratio"] is None
         assert floors[op]["floor_basis"]
+    # the HBM stream denominator + step-coverage block (VERDICT r4 #4)
+    assert floors["hbm"]["stream_mb_per_rep"] > 0
+    acc = floors["accounted"]
+    assert acc["train_step"]["step_ms"] == 100.0
+    assert acc["train_step"]["coverage"] == pytest.approx(
+        acc["train_step"]["sum_ms"] / 100.0, abs=0.01)
+    assert acc["eval_detection"]["sum_ms"] >= 0
 
 
 class _FakeResult:
