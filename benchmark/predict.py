@@ -43,13 +43,14 @@ def predict_caption(args):
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                     "scripts"))
-    from train import model_config_from_args
+    from train import model_config_from_info
 
     paths = PathConfig()
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
-        targs = argparse.Namespace(**json.load(f))
-    mcfg = model_config_from_args(targs)
+        info = json.load(f)
+    targs = argparse.Namespace(**info)
+    mcfg = model_config_from_info(info)
     cfg = Config(model=mcfg)
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")
@@ -79,7 +80,9 @@ def predict_caption(args):
     loader = Loader(ds, args.batch_size, shuffle=False, seed=args.seed,
                     drop_last=False)
 
-    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,
+                   num_vocabs_padded=int(info.get("num_vocabs_padded", 0)
+                                         or 0))
     example = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in example.items()}
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)

@@ -68,14 +68,14 @@ def evaluate(args):
         parse_groundtruths)
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from train import model_config_from_args  # reuse arg->config mapping
+    from train import model_config_from_info  # reuse arg->config mapping
 
     paths = PathConfig()
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
         info = json.load(f)
     targs = argparse.Namespace(**info)
-    mcfg = model_config_from_args(targs)
+    mcfg = model_config_from_info(info)
     cfg = Config(model=mcfg)
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")

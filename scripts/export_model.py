@@ -50,13 +50,14 @@ def build_and_export(args):
     from scan2cap_tpu.train.checkpoints import CheckpointIO
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from train import model_config_from_args
+    from train import model_config_from_info
 
     paths = PathConfig()
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
-        targs = argparse.Namespace(**json.load(f))
-    mcfg = model_config_from_args(targs)
+        info = json.load(f)
+    targs = argparse.Namespace(**info)
+    mcfg = model_config_from_info(info)
     cfg = Config(model=mcfg)
 
     train_path = os.path.join(paths.data,
@@ -70,7 +71,9 @@ def build_and_export(args):
         use_color=mcfg.use_color, use_normal=mcfg.use_normal,
         use_multiview=mcfg.use_multiview, multiview_path=paths.multiview)
 
-    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,
+                   num_vocabs_padded=int(info.get("num_vocabs_padded", 0)
+                                         or 0))
     B, N = args.batch_size, mcfg.num_points
     in_dim = 3 + mcfg.input_feature_dim
     example = {

@@ -57,16 +57,18 @@ def extract(args):
     from scan2cap_tpu.ops.nms import nms_3d
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from train import model_config_from_args
+    from train import model_config_from_args, model_config_from_info
 
     paths = PathConfig()
     if not args.folder and not args.pth:
         raise SystemExit("need --folder (trained run) or --pth "
                          "(released detector weights)")
+    info = None
     if args.folder:
         folder = os.path.join(paths.output, args.folder)
         with open(os.path.join(folder, "info.json")) as f:
-            targs = argparse.Namespace(**json.load(f))
+            info = json.load(f)
+        targs = argparse.Namespace(**info)
     else:
         # fill the trainer-arg surface model_config_from_args expects with
         # its own defaults, overridden by this CLI's feature flags
@@ -78,8 +80,9 @@ def extract(args):
             use_distance=False, use_topdown=False, use_color=args.use_color,
             use_normal=args.use_normal, use_multiview=args.use_multiview,
             no_height=args.no_height, no_caption=True)
-    mcfg = model_config_from_args(targs).__class__(
-        **{**model_config_from_args(targs).__dict__, "no_caption": True})
+    base = (model_config_from_info(info) if info is not None
+            else model_config_from_args(targs))
+    mcfg = base.__class__(**{**base.__dict__, "no_caption": True})
     cfg = Config(model=mcfg)
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")

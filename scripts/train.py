@@ -57,6 +57,13 @@ def parse_args():
     p.add_argument("--use_distance", action="store_true")
     p.add_argument("--use_pretrained", type=str, default=None)
     p.add_argument("--use_checkpoint", type=str, default="")
+    p.add_argument("--spatial", action="store_true",
+                   help="with --mesh DATA,MODEL (MODEL>1): additionally "
+                        "shard every SA layer's query-center axis over the "
+                        "MODEL axis (ModelConfig.spatial_axis; SURVEY 5.7 "
+                        "point-axis sharding).  Exact — indices match the "
+                        "unsharded backbone bit-for-bit "
+                        "(tests/test_parallel_spatial.py)")
     p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
                    help="run training over a (data, model) device mesh, "
                         "e.g. 8,1 (DP) or 4,2 (DP+TP).  Scenes shard over "
@@ -80,10 +87,13 @@ def parse_args():
 
 def model_config_from_args(args):
     from scan2cap_tpu.config import ModelConfig
+    # point-axis sharding rides the mesh's "model" axis (--spatial)
+    spatial_axis = "model" if getattr(args, "spatial", False) else ""
     # CI hook: shrink the SA pyramid so fixture-size scenes run fast on CPU
     if os.environ.get("SCAN2CAP_TEST_TINY"):
         return ModelConfig(
             num_points=args.num_points,
+            spatial_axis=spatial_axis,
             num_proposals=args.num_proposals,
             sa_npoints=(128, 64, 32, 16),
             max_num_obj=16,
@@ -107,6 +117,7 @@ def model_config_from_args(args):
     return ModelConfig(
         num_points=args.num_points,
         num_proposals=args.num_proposals,
+        spatial_axis=spatial_axis,
         num_locals=args.num_locals,
         num_graph_steps=args.num_graph_steps,
         query_mode=args.query_mode,
@@ -126,6 +137,19 @@ def model_config_from_args(args):
     )
 
 
+def model_config_from_info(info: dict):
+    """Rebuild the ModelConfig for a SAVED run (info.json) consumer —
+    eval/predict/export/visualize.  ``--spatial`` only changes the TRAINING
+    step's sharding layout (params and math are identical), so it is
+    neutralized here; consumers that restore the checkpoint must also pass
+    ``num_vocabs_padded=info.get("num_vocabs_padded", 0)`` to CapNet so a
+    mesh-trained run's TP-padded classifier restores shape-exactly."""
+    import argparse
+    ns = argparse.Namespace(**info)
+    ns.spatial = False
+    return model_config_from_args(ns)
+
+
 def train(args):
     import jax
     import jax.numpy as jnp
@@ -137,6 +161,10 @@ def train(args):
     from scan2cap_tpu.train import create_train_state, make_train_step, make_eval_step
     from scan2cap_tpu.train.solver import Solver
     from scan2cap_tpu.eval.eval_helper import eval_cap, prepare_corpus
+
+    if args.spatial and not args.mesh:
+        raise SystemExit("--spatial requires --mesh DATA,MODEL with MODEL>1 "
+                         "(the SA query axis shards over the model axis)")
 
     paths = PathConfig()
     mcfg = model_config_from_args(args)
@@ -209,9 +237,21 @@ def train(args):
                 f"mesh data axis ({n_data})")
         if n_model > 1:
             vocab_pad = padded_vocab(train_ds.num_vocabs, n_model)
+        if args.spatial:
+            if n_model < 2:
+                raise SystemExit("--spatial shards the SA query axis over "
+                                 "the MODEL mesh axis; use --mesh with "
+                                 "MODEL>1 (e.g. --mesh 4,2)")
+            bad = [m for m in mcfg.sa_npoints if m % n_model]
+            if bad:
+                raise SystemExit(f"--spatial needs every SA point count to "
+                                 f"divide the model axis ({n_model}); "
+                                 f"got sa_npoints={mcfg.sa_npoints}")
         print(f"mesh: data={n_data} model={n_model}"
               + (f" vocab padded {train_ds.num_vocabs}->{vocab_pad}"
-                 if vocab_pad else ""), flush=True)
+                 if vocab_pad else "")
+              + (" spatial(SA query axis over model)" if args.spatial
+                 else ""), flush=True)
 
     # ---- model + state ----
     model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,

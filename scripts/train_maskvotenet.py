@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--use_color", action="store_true")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="train over a (data, model) device mesh; this "
+                        "detection-only model has no TP-worthy params, so "
+                        "DP (e.g. 8,1) is the natural shape — scenes shard "
+                        "over DATA, gradients all-reduce via XLA")
     return p.parse_args()
 
 
@@ -103,6 +108,16 @@ def train(args):
         keys = ("loss", "vote_loss", "box_loss", "center_loss", "size_cls_loss",
                 "size_reg_loss", "sem_cls_loss", "sem_cls_acc", "miou")
         return state, {k: out[k] for k in keys if k in out}
+
+    if args.mesh:
+        from scan2cap_tpu.parallel import (mesh_step_fn, parse_mesh,
+                                           shard_train_state)
+        mesh = parse_mesh(args.mesh)
+        if args.batch_size % dict(mesh.shape)["data"] != 0:
+            raise SystemExit("--batch_size must divide the mesh data axis")
+        state = shard_train_state(state, mesh)
+        train_step = mesh_step_fn(train_step, mesh)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
 
     stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     if args.tag:

@@ -40,6 +40,12 @@ def parse_args():
     p.add_argument("--criterion", type=str, default="cider")
     p.add_argument("--features", type=str, default=None,
                    help="HDF5 feature database path")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="train over a (data, model) device mesh — "
+                        "sequences shard over DATA; DP (e.g. 8,1) is the "
+                        "natural shape for this decoder-only stage (an "
+                        "unpadded classifier under MODEL>1 falls back to "
+                        "hidden-axis sharding: correct, more traffic)")
     return p.parse_args()
 
 
@@ -169,6 +175,16 @@ def train(args):
                 estep, val_ds, val_loader, organized, corpus, mode=args.mode)
             return {"bleu-4": bleu[0][3], "cider": cider[0],
                     "rouge": rouge[0], "meteor": meteor[0]}
+
+    if args.mesh:
+        from scan2cap_tpu.parallel import (mesh_step_fn, parse_mesh,
+                                           shard_train_state)
+        mesh = parse_mesh(args.mesh)
+        if args.batch_size % dict(mesh.shape)["data"] != 0:
+            raise SystemExit("--batch_size must divide the mesh data axis")
+        state = shard_train_state(state, mesh)
+        train_step = mesh_step_fn(train_step, mesh)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
 
     stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     if args.tag:

@@ -42,13 +42,14 @@ def visualize(args):
     from scan2cap_tpu.utils.pc_utils import write_bbox_ply
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from train import model_config_from_args
+    from train import model_config_from_info
 
     paths = PathConfig()
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
-        targs = argparse.Namespace(**json.load(f))
-    mcfg = model_config_from_args(targs)
+        info = json.load(f)
+    targs = argparse.Namespace(**info)
+    mcfg = model_config_from_info(info)
     cfg = Config(model=mcfg)
 
     train_path = os.path.join(paths.data, f"{args.dataset}_filtered_train.json")
@@ -74,7 +75,9 @@ def visualize(args):
     batch = {k: jnp.asarray(v)[None] for k, v in sample.items()}
     batch["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
 
-    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs)
+    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,
+                   num_vocabs_padded=int(info.get("num_vocabs_padded", 0)
+                                         or 0))
     state = create_train_state(cfg, model, batch, jax.random.PRNGKey(args.seed))
     restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
         {"params": state.params, "batch_stats": state.batch_stats})

@@ -28,6 +28,11 @@ def _env(cli_data):
         "PYTHONPATH": REPO,
         "SCAN2CAP_TEST_TINY": "1",
     })
+    # the variant trainers' --mesh runs below need virtual devices
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
     return env
 
 
@@ -43,10 +48,12 @@ def test_pretrained_gt_track(cli_data):
     env = _env(cli_data)
     data = cli_data / "data"
 
-    # 1. MaskVoteNet pretraining (single-proposal feature extractor)
+    # 1. MaskVoteNet pretraining (single-proposal feature extractor),
+    #    driven over a DP mesh — the variant trainers share scripts/train.py's
+    #    mesh wiring (parallel.shard_train_state + mesh_step_fn)
     _run([os.path.join(REPO, "scripts", "train_maskvotenet.py"),
           "--epoch", "1", "--batch_size", "2", "--num_points", "512",
-          "--verbose", "1", "--tag", "mvn"], env)
+          "--verbose", "1", "--mesh", "2,1", "--tag", "mvn"], env)
     mvn_run = next(p.name for p in (cli_data / "outputs").iterdir()
                    if "MVN" in p.name)
 
@@ -91,7 +98,7 @@ def test_pretrained_gt_track(cli_data):
     _run([os.path.join(REPO, "scripts", "train_pretrained.py"),
           "--mode", "gt", "--epoch", "1", "--batch_size", "2",
           "--verbose", "1", "--val_step", "2", "--use_topdown",
-          "--num_locals", "2", "--tag", "pre"], env)
+          "--num_locals", "2", "--mesh", "2,1", "--tag", "pre"], env)
     pre_run = next(p for p in (cli_data / "outputs").iterdir()
                    if "PRE" in p.name)
     log = (pre_run / "log.txt").read_text()

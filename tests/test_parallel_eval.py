@@ -120,6 +120,47 @@ def test_vocab_padded_model_bit_exact():
         np.asarray(state.params["caption"]["classifier"]["bias"]))
 
 
+def test_capnet_spatial_axis_composes_with_mesh():
+    """--spatial end-to-end composition (VERDICT r4 #3): the FULL CapNet
+    with ModelConfig.spatial_axis="model" — SA query axes sharded over the
+    mesh's model axis on top of DP scenes + TP decode — reproduces the
+    unsharded eval decode tokens EXACTLY and the train loss within the
+    dryrun tolerance, with the SAME parameter tree (spatial sharding changes
+    layout, not math or params)."""
+    from scan2cap_tpu.parallel import mesh_step_fn
+    from scan2cap_tpu.train import make_train_step
+
+    assert jax.device_count() >= 8
+    cfg = Config(model=TINY)
+    tiny_sp = ModelConfig(**{**TINY.__dict__, "spatial_axis": "model"})
+    cfg_sp = Config(model=tiny_sp)
+    vocab = make_vocab(num_vocabs=32)
+    batch = make_scene_batch(TINY, batch_size=4, num_objects=3, vocab=vocab)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = CapNet(TINY, num_vocabs=32)
+    model_sp = CapNet(tiny_sp, num_vocabs=32)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+
+    want_tok = np.asarray(make_eval_step(cfg, model)(state, batch)["lang_cap"])
+    _, m1 = make_train_step(cfg, model, donate=False)(
+        state, batch, jnp.asarray(1e-3), jnp.asarray(0.1))
+    want_loss = float(m1["loss"])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    sbatch = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        got_tok = np.asarray(
+            make_eval_step(cfg_sp, model_sp)(state_r, sbatch)["lang_cap"])
+    np.testing.assert_array_equal(got_tok, want_tok)
+
+    step_sp = mesh_step_fn(make_train_step(cfg_sp, model_sp, donate=False),
+                           mesh)
+    _, m2 = step_sp(state_r, batch, jnp.asarray(1e-3), jnp.asarray(0.1))
+    rel = abs(float(m2["loss"]) - want_loss) / max(abs(want_loss), 1e-9)
+    assert rel < 2e-3, (float(m2["loss"]), want_loss)
+
+
 def test_mesh_train_helpers_match_single_device():
     """The Solver-pluggable mesh path (parallel.shard_train_state +
     mesh_step_fn, DP+TP with the auto-padded classifier) computes the same
