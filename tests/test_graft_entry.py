@@ -74,6 +74,7 @@ def test_dryrun_multichip_end_to_end():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "axon"  # sabotage: plugin platform in caller env
     env["SCAN2CAP_DRYRUN_FLAGSHIP"] = "0"  # tiny stage only (flagship below)
+    env["SCAN2CAP_DRYRUN_SPATIAL"] = "0"
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
@@ -94,6 +95,7 @@ def test_dryrun_multichip_flagship_stage():
     certify 1-dev-vs-n-dev eval token equality AND log the per-step
     collective byte count from the optimized sharded HLO."""
     env = dict(os.environ)
+    env["SCAN2CAP_DRYRUN_SPATIAL"] = "0"   # stage 3 has its own test below
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
@@ -147,3 +149,27 @@ def test_collective_bytes_async_pairs():
     assert out["all-gather"] == 16 * 16 * 2
     assert out["collective-permute"] == 32 * 4
     assert out["total"] == 64 * 4 + 16 * 16 * 2 + 32 * 4
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_spatial_stage():
+    """Stage 3 (VERDICT r4 #3): the flagship backbone at N=80k points - 2x
+    the single-chip budget - on a ("spatial",) mesh must certify
+    sharded == unsharded (indices exact) and log collective bytes, with
+    FPS moving ZERO collectives (replicated by design)."""
+    env = dict(os.environ)
+    env["SCAN2CAP_DRYRUN_FLAGSHIP"] = "0"
+    env["SCAN2CAP_DRYRUN_SPLITS"] = "0"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "spatial stage" in proc.stdout, proc.stdout
+    assert "indices exact" in proc.stdout
+    assert "fps collectives: 0" in proc.stdout
+    import re
+
+    m = re.search(r"backbone collectives/step: \{[^}]*'total': (\d+)",
+                  proc.stdout)
+    assert m and int(m.group(1)) > 0, proc.stdout
