@@ -70,8 +70,11 @@ def test_measure_floors_structure(bench_mod):
         assert floors[op]["measured_ms"] >= 0
         assert "floor_ms" in floors[op]
         if floors[op]["floor_ms"] > 0:
+            # ratio is computed pre-rounding; compare with slack for the
+            # 2-decimal rounding of measured/floor at toy shapes
             assert floors[op]["ratio"] == pytest.approx(
-                floors[op]["measured_ms"] / floors[op]["floor_ms"], abs=0.01)
+                floors[op]["measured_ms"] / floors[op]["floor_ms"],
+                rel=0.02, abs=0.01)
         else:  # toy shapes can round the slice-count floor to 0.0
             assert floors[op]["ratio"] is None
         assert floors[op]["floor_basis"]
