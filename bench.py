@@ -568,9 +568,15 @@ def main():
             "use_relation": False, "use_topdown": False,
             "use_orientation": False})
         model_det = CapNet(cfg_det, num_vocabs=NUM_VOCABS)
-        _, det_ms = measure_train(cfg_det, model_det, vocab, emb_table,
-                                  caption=False)
-        cap_delta_ms = train_ms - det_ms
+        try:
+            _, det_ms = measure_train(cfg_det, model_det, vocab, emb_table,
+                                      caption=False)
+            cap_delta_ms = train_ms - det_ms
+        except Exception as exc:  # auxiliary decomposition: never lose the
+            # headline numbers to a failed extra compile (the tunnel can
+            # drop mid-run); coverage just reports the delta as unmeasured
+            print(f"[bench] detection-only delta skipped: {exc!r}",
+                  file=sys.stderr)
     else:  # eval-only sweeps (e.g. SCAN2CAP_BENCH_BATCH A/Bs) skip the ~2 min
         train_sps = train_ms = None
 
