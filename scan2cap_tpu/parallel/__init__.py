@@ -9,6 +9,7 @@ train/eval steps, gradient all-reduce via XLA collectives over ICI.
 from scan2cap_tpu.parallel.mesh import (
     make_mesh,
     parse_mesh,
+    setup_mesh,
     padded_vocab,
     shard_batch,
     replicate,
@@ -19,6 +20,7 @@ from scan2cap_tpu.parallel.mesh import (
     mesh_eval_fn,
 )
 
-__all__ = ["make_mesh", "parse_mesh", "padded_vocab", "shard_batch",
+__all__ = ["make_mesh", "parse_mesh", "setup_mesh", "padded_vocab",
+           "shard_batch",
            "replicate", "batch_sharding", "caption_param_spec",
            "shard_train_state", "mesh_step_fn", "mesh_eval_fn"]

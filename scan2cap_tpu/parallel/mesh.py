@@ -50,6 +50,23 @@ def parse_mesh(spec: str, devices=None) -> Mesh:
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 
+def setup_mesh(spec: str, batch_size: int) -> Mesh:
+    """Shared trainer-CLI front door for ``--mesh``: parse DATA,MODEL and
+    validate that the data axis divides the batch size (DP splits the scene
+    axis evenly; mesh_eval_fn's padding only covers EVAL batches).
+
+    Raises SystemExit with the user-facing message — used by scripts/
+    train.py, train_maskvotenet.py, train_pretrained.py and
+    quality_trajectory.py instead of four copies of this block."""
+    mesh = parse_mesh(spec)
+    n_data = dict(mesh.shape)["data"]
+    if batch_size % n_data != 0:
+        raise SystemExit(
+            f"--batch_size {batch_size} must be divisible by the mesh "
+            f"data axis ({n_data})")
+    return mesh
+
+
 def padded_vocab(num_vocabs: int, n_model: int, multiple: int = 128) -> int:
     """Smallest vocab size >= ``num_vocabs`` divisible by both ``n_model``
     and ``multiple`` (the TPU lane width).

@@ -43,6 +43,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from scan2cap_tpu.ops.grouping import ball_query, group_points
 
 
+def _batch_axis(mesh, b: int):
+    """Scene-axis spec component for the shard_map in/out specs.
+
+    On the production ("data", "model") training mesh the upstream
+    activations arrive with the scene axis sharded P("data") — declaring it
+    replicated here would all-gather every SA layer's point/feature tables
+    over the data axis at the shard_map boundary and duplicate the ball
+    query/grouping work n_data times.  Shard over "data" whenever the mesh
+    has that axis and it divides B; replicate otherwise (the 1-axis
+    ("spatial",)/("model",) meshes of the dryrun and unit tests)."""
+    n = dict(mesh.shape).get("data", 0)
+    return "data" if n and b % n == 0 else None
+
+
 def _resolve_mesh(mesh, axis: str):
     """Concrete mesh if given, else the ambient (jax.set_mesh) mesh; the
     named axis must exist and divide nothing here — callers assert shape
@@ -71,11 +85,12 @@ def ball_query_sharded(xyz: jax.Array, new_xyz: jax.Array, radius: float,
     M = new_xyz.shape[1]
     size = dict(mesh.shape)[axis]
     assert M % size == 0, (M, size)
+    dp = _batch_axis(mesh, new_xyz.shape[0])
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=P(None, axis, None))
+        in_specs=(P(dp, None, None), P(dp, axis, None)),
+        out_specs=P(dp, axis, None))
     def _shard(xyz_rep, q_shard):
         return ball_query(xyz_rep, q_shard, radius, nsample)
 
@@ -90,11 +105,12 @@ def group_points_sharded(features: jax.Array, idx: jax.Array,
     mesh = _resolve_mesh(mesh, axis)
     size = dict(mesh.shape)[axis]
     assert idx.shape[1] % size == 0
+    dp = _batch_axis(mesh, idx.shape[0])
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=P(None, axis, None, None))
+        in_specs=(P(dp, None, None), P(dp, axis, None)),
+        out_specs=P(dp, axis, None, None))
     def _shard(feats_rep, idx_shard):
         return group_points(feats_rep, idx_shard)
 
@@ -117,11 +133,13 @@ def leaf_gathered_projection_sharded(lgp_fn, cat: jax.Array, ct_in: jax.Array,
     mesh = _resolve_mesh(mesh, axis)
     size = dict(mesh.shape)[axis]
     assert idx.shape[1] % size == 0
+    dp = _batch_axis(mesh, idx.shape[0])
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(None, axis, None), P(), P(None, axis, None)),
-        out_specs=P(None, axis, None, None))
+        in_specs=(P(dp, None, None), P(dp, axis, None), P(),
+                  P(dp, axis, None)),
+        out_specs=P(dp, axis, None, None))
     def _shard(cat_rep, ct_shard, w0_rep, idx_shard):
         return lgp_fn(cat_rep, ct_shard, w0_rep, idx_shard)
 

@@ -61,6 +61,12 @@ def fit_linear(points):
     over-determine it and the residual is reported)."""
     points = sorted(points)
     (b0, y0), (b1, y1) = points[0], points[-1]
+    if b1 == b0:
+        # single batch point: no slope to fit — report the raw measurement
+        # instead of crashing after the multi-minute compile points ran
+        return {"fixed_mb": None, "per_scene_mb": None,
+                "max_residual_mb": None,
+                "single_point_mb": round(y0 / 1e6, 2)}
     per_scene = (y1 - y0) / (b1 - b0)
     fixed = y0 - per_scene * b0
     resid = max(abs(fixed + per_scene * b - y) for b, y in points)

@@ -145,12 +145,10 @@ def main():
     vocab_pad = 0
     if args.mesh:
         from scan2cap_tpu.parallel import (mesh_eval_fn, mesh_step_fn,
-                                           padded_vocab, parse_mesh,
+                                           padded_vocab, setup_mesh,
                                            shard_train_state)
-        mesh = parse_mesh(args.mesh)
+        mesh = setup_mesh(args.mesh, args.batch_size)
         n_model = dict(mesh.shape)["model"]
-        if args.batch_size % dict(mesh.shape)["data"] != 0:
-            raise SystemExit("--batch_size must divide the mesh data axis")
         if n_model > 1:
             vocab_pad = padded_vocab(128, n_model)
         print(f"mesh: {dict(mesh.shape)}"

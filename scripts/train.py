@@ -226,15 +226,11 @@ def train(args):
     vocab_pad = 0
     if args.mesh:
         from scan2cap_tpu.parallel import (mesh_eval_fn, mesh_step_fn,
-                                           padded_vocab, parse_mesh,
+                                           padded_vocab, setup_mesh,
                                            shard_train_state)
-        mesh = parse_mesh(args.mesh)
+        mesh = setup_mesh(args.mesh, args.batch_size)
         n_data = dict(mesh.shape)["data"]
         n_model = dict(mesh.shape)["model"]
-        if args.batch_size % n_data != 0:
-            raise SystemExit(
-                f"--batch_size {args.batch_size} must be divisible by the "
-                f"mesh data axis ({n_data})")
         if n_model > 1:
             vocab_pad = padded_vocab(train_ds.num_vocabs, n_model)
         if args.spatial:
@@ -259,7 +255,17 @@ def train(args):
     example = next(iter(train_loader))
     example = {k: jnp.asarray(v) for k, v in example.items()}
     example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
-    state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
+    if mesh is not None:
+        # the --spatial backbone resolves the AMBIENT mesh at trace time
+        # (parallel/spatial._resolve_mesh); init traces the model, so it
+        # must run under the mesh too — mesh_step_fn only wraps the later
+        # per-step calls
+        with jax.set_mesh(mesh):
+            state = create_train_state(cfg, model, example,
+                                       jax.random.PRNGKey(args.seed))
+    else:
+        state = create_train_state(cfg, model, example,
+                                   jax.random.PRNGKey(args.seed))
 
     if args.use_pretrained:
         # warm-start detection modules from a pretrained run

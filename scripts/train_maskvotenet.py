@@ -110,11 +110,9 @@ def train(args):
         return state, {k: out[k] for k in keys if k in out}
 
     if args.mesh:
-        from scan2cap_tpu.parallel import (mesh_step_fn, parse_mesh,
+        from scan2cap_tpu.parallel import (mesh_step_fn, setup_mesh,
                                            shard_train_state)
-        mesh = parse_mesh(args.mesh)
-        if args.batch_size % dict(mesh.shape)["data"] != 0:
-            raise SystemExit("--batch_size must divide the mesh data axis")
+        mesh = setup_mesh(args.mesh, args.batch_size)
         state = shard_train_state(state, mesh)
         train_step = mesh_step_fn(train_step, mesh)
         print(f"mesh: {dict(mesh.shape)}", flush=True)

@@ -125,6 +125,19 @@ def test_train_and_eval_cli_mesh(cli_data):
     assert abs(loss_mesh - loss_1dev) <= 2e-3 * abs(loss_1dev) + 1e-3, (
         loss_mesh, loss_1dev)
 
+    # --spatial on top of the mesh (SA query axes sharded over "model"):
+    # must start up (init traces the spatial backbone under the ambient
+    # mesh) and reproduce the same first-step loss (sharding is exact)
+    res = subprocess.run(
+        TRAIN_COMMON + ["--epoch", "1", "--mesh", "4,2", "--spatial",
+                        "--tag", "spat42"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "spatial(SA query axis over model)" in res.stdout
+    loss_spatial = _first_loss(_run_dir(cli_data, "spat42"))
+    assert abs(loss_spatial - loss_1dev) <= 2e-3 * abs(loss_1dev) + 1e-3, (
+        loss_spatial, loss_1dev)
+
     # resume the mesh checkpoint INTO mesh shardings via the CLI
     res = subprocess.run(
         TRAIN_COMMON + ["--epoch", "2", "--mesh", "4,2",
