@@ -161,6 +161,20 @@ def test_train_and_eval_cli_mesh(cli_data):
     assert scores_1 and scores_1 == scores_m, (scores_1, scores_m)
 
 
+def test_setup_mesh_validates_batch_divisibility():
+    """The shared trainer-CLI front door: the data axis must divide the
+    batch size, and the message says so in that direction (a previous
+    per-script copy printed the check backwards)."""
+    from scan2cap_tpu.parallel import setup_mesh
+
+    m = setup_mesh("4,2", 8)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    with pytest.raises(SystemExit, match=r"--batch_size 2 must be "
+                                         r"divisible by the mesh data "
+                                         r"axis \(4\)"):
+        setup_mesh("4,1", 2)
+
+
 def test_parse_mesh_rejects_bad_specs():
     from scan2cap_tpu.parallel import parse_mesh
 

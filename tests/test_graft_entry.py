@@ -173,3 +173,6 @@ def test_dryrun_multichip_spatial_stage():
     m = re.search(r"backbone collectives/step: \{[^}]*'total': (\d+)",
                   proc.stdout)
     assert m and int(m.group(1)) > 0, proc.stdout
+    # production DP+spatial composition: compile-only accounting proves the
+    # scene axis stays sharded (no data-axis table all-gather)
+    assert "spatial DP stage" in proc.stdout, proc.stdout
