@@ -438,6 +438,7 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                 + res["sa1_gather"]["measured_ms"]
                 + res["sa2_4_gathers"]["measured_ms"]
                 + res["mlp_bn_eval"]["measured_ms"])
+    _default_shape = (B, N, M, S) == (16, 40000, 2048, 64)
     res["accounted"] = {
         "train_step": {
             "sum_ms": round(train_sum, 1),
@@ -455,8 +456,13 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                     "voting/proposal heads, losses, and Adam"},
         "eval_detection": {
             "sum_ms": round(eval_sum, 1),
-            "step_ms_ref": 87.0,
-            "coverage": round(eval_sum / 87.0, 2),
+            # the 87 ms reference is the MEASURED B16 flagship detection
+            # pass (TPU_DESIGN §6c) — only meaningful at that shape, so
+            # non-default invocations (CPU tests, batch sweeps) report no
+            # coverage rather than a ratio against the wrong denominator
+            "step_ms_ref": (87.0 if _default_shape else None),
+            "coverage": (round(eval_sum / 87.0, 2) if _default_shape
+                         else None),
             "note": "vs the B16 detection pass (TPU_DESIGN §6c; the eval "
                     "headline runs B8 and adds the ~21 ms latency-bound "
                     "decode, which has no bandwidth floor); the residue "
@@ -558,30 +564,36 @@ def main():
     scenes_per_sec = BATCH / dt
 
     cap_delta_ms = None
+    floors_enabled = os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0"
     if os.environ.get("SCAN2CAP_BENCH_TRAIN", "1") != "0":
         train_sps, train_ms = measure_train(cfg, model, vocab, emb_table)
         # detection-only step: the full-minus-detection delta attributes
         # the caption decoder + relational graph fwd+bwd for the floors'
-        # coverage accounting (measured decomposition, not a floor)
-        cfg_det = ModelConfig(**{
-            **cfg.__dict__, "no_caption": True, "num_graph_steps": 0,
-            "use_relation": False, "use_topdown": False,
-            "use_orientation": False})
-        model_det = CapNet(cfg_det, num_vocabs=NUM_VOCABS)
-        try:
-            _, det_ms = measure_train(cfg_det, model_det, vocab, emb_table,
-                                      caption=False)
-            cap_delta_ms = train_ms - det_ms
-        except Exception as exc:  # auxiliary decomposition: never lose the
-            # headline numbers to a failed extra compile (the tunnel can
-            # drop mid-run); coverage just reports the delta as unmeasured
-            print(f"[bench] detection-only delta skipped: {exc!r}",
-                  file=sys.stderr)
+        # coverage accounting (measured decomposition, not a floor) — its
+        # only consumer is measure_floors, so skip the ~2-min TPU
+        # measurement entirely when floors are off
+        if floors_enabled:
+            try:
+                cfg_det = ModelConfig(**{
+                    **cfg.__dict__, "no_caption": True, "num_graph_steps": 0,
+                    "use_relation": False, "use_topdown": False,
+                    "use_orientation": False})
+                model_det = CapNet(cfg_det, num_vocabs=NUM_VOCABS)
+                _, det_ms = measure_train(cfg_det, model_det, vocab,
+                                          emb_table, caption=False)
+                cap_delta_ms = train_ms - det_ms
+            except Exception as exc:  # auxiliary decomposition: never lose
+                # the headline numbers to a failed extra compile (the tunnel
+                # can drop mid-run) — or to a future config-field drift in
+                # the cfg_det construction above; coverage just reports the
+                # delta as unmeasured
+                print(f"[bench] detection-only delta skipped: {exc!r}",
+                      file=sys.stderr)
     else:  # eval-only sweeps (e.g. SCAN2CAP_BENCH_BATCH A/Bs) skip the ~2 min
         train_sps = train_ms = None
 
     floors = None
-    if os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0":
+    if floors_enabled:
         floors = measure_floors(train_step_ms=train_ms,
                                 caption_graph_delta_ms=cap_delta_ms)
 

@@ -49,7 +49,6 @@ def predict_caption(args):
     folder = os.path.join(paths.output, args.folder)
     with open(os.path.join(folder, "info.json")) as f:
         info = json.load(f)
-    targs = argparse.Namespace(**info)
     mcfg = model_config_from_info(info)
     cfg = Config(model=mcfg)
 

@@ -4,8 +4,11 @@ The reference handles big scenes by random down-sampling to a fixed budget
 on one GPU (utils/pc_utils.py:32-40).  On a TPU slice the point axis itself
 can be sharded: every query center's ball query / grouping is independent of
 the other centers, so the QUERY axis (M) splits across devices with the
-source cloud replicated — each device scans its M/D centers over the full N
-points, and XLA's all-gather (over ICI) reassembles the neighborhoods.  This
+source cloud replicated (within a data shard: on the production
+("data", "model") mesh the scene axis stays sharded over "data" —
+``_batch_axis``) — each device scans its M/D centers over the full N
+points of its scenes, and XLA's all-gather (over ICI) reassembles the
+neighborhoods.  This
 is how the static point budget scales past one chip's FLOPs without changing
 any op semantics (SURVEY.md §5.7: "shard the point axis within the SA
 kernels and the batch axis across chips").
@@ -43,7 +46,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from scan2cap_tpu.ops.grouping import ball_query, group_points
 
 
-def _batch_axis(mesh, b: int):
+def _batch_axis(mesh, b: int, axis: str):
     """Scene-axis spec component for the shard_map in/out specs.
 
     On the production ("data", "model") training mesh the upstream
@@ -52,7 +55,11 @@ def _batch_axis(mesh, b: int):
     over the data axis at the shard_map boundary and duplicate the ball
     query/grouping work n_data times.  Shard over "data" whenever the mesh
     has that axis and it divides B; replicate otherwise (the 1-axis
-    ("spatial",)/("model",) meshes of the dryrun and unit tests)."""
+    ("spatial",)/("model",) meshes of the dryrun and unit tests, or when
+    the QUERY axis itself is sharded over "data" — a PartitionSpec cannot
+    name one mesh axis twice)."""
+    if axis == "data":
+        return None
     n = dict(mesh.shape).get("data", 0)
     return "data" if n and b % n == 0 else None
 
@@ -78,14 +85,16 @@ def ball_query_sharded(xyz: jax.Array, new_xyz: jax.Array, radius: float,
                        axis: str = "model") -> jax.Array:
     """Exact ball query with the query-center axis sharded over ``axis``.
 
-    xyz (B, N, 3) replicated; new_xyz (B, M, 3) with M divisible by the mesh
-    axis size.  Returns (B, M, nsample) int32, identical to the unsharded op.
+    xyz (B, N, 3) replicated within a data shard (its scene axis rides the
+    mesh's "data" axis when present — ``_batch_axis``); new_xyz (B, M, 3)
+    with M divisible by the mesh axis size.  Returns (B, M, nsample) int32,
+    identical to the unsharded op.
     """
     mesh = _resolve_mesh(mesh, axis)
     M = new_xyz.shape[1]
     size = dict(mesh.shape)[axis]
     assert M % size == 0, (M, size)
-    dp = _batch_axis(mesh, new_xyz.shape[0])
+    dp = _batch_axis(mesh, new_xyz.shape[0], axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -101,11 +110,12 @@ def group_points_sharded(features: jax.Array, idx: jax.Array,
                          mesh: Optional[Mesh] = None,
                          axis: str = "model") -> jax.Array:
     """Neighborhood gather with the query axis of ``idx`` sharded; the
-    feature table stays replicated.  (B, M, S) -> (B, M, S, C)."""
+    feature table is replicated within a data shard (scene axis on "data"
+    when the mesh has it).  (B, M, S) -> (B, M, S, C)."""
     mesh = _resolve_mesh(mesh, axis)
     size = dict(mesh.shape)[axis]
     assert idx.shape[1] % size == 0
-    dp = _batch_axis(mesh, idx.shape[0])
+    dp = _batch_axis(mesh, idx.shape[0], axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -125,15 +135,17 @@ def leaf_gathered_projection_sharded(lgp_fn, cat: jax.Array, ct_in: jax.Array,
     (models/backbone._leaf_gathered_projection, passed in as ``lgp_fn`` to
     avoid a models<->parallel import cycle).
 
-    cat (B, N, Cin) / w0 (Cin, D) replicated; ct_in (B, M, Cin) and
-    idx (B, M, S) sharded over the query axis.  The custom VJP runs
-    per-shard; its dW partials are psummed by the shard_map transpose
-    (replicated-input cotangent), asserted against the unsharded gradient in
-    tests/test_parallel_spatial.py."""
+    cat (B, N, Cin) replicated within a data shard (scene axis on "data"
+    when the mesh has it) and w0 (Cin, D) fully replicated; ct_in
+    (B, M, Cin) and idx (B, M, S) sharded over the query axis.  The custom
+    VJP runs per-shard; its dW partials are psummed by the shard_map
+    transpose (replicated-input cotangent — w0's over every mesh axis,
+    cat's over the query axis only), asserted against the unsharded
+    gradient in tests/test_parallel_spatial.py."""
     mesh = _resolve_mesh(mesh, axis)
     size = dict(mesh.shape)[axis]
     assert idx.shape[1] % size == 0
-    dp = _batch_axis(mesh, idx.shape[0])
+    dp = _batch_axis(mesh, idx.shape[0], axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,

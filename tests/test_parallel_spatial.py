@@ -209,6 +209,21 @@ def test_backbone_spatial_axis_grads_match(rng):
     check(dp_l, dp_g)
 
 
+def test_spatial_axis_named_data_stays_valid(rng):
+    """Sharding the QUERY axis over an axis literally named "data" must not
+    emit P("data", "data", ...) (a PartitionSpec cannot name one mesh axis
+    twice): _batch_axis falls back to a replicated scene axis and the
+    result stays exact."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    xyz = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32) * 3)
+    new_xyz = xyz[:, :64]
+
+    want = np.asarray(ball_query(xyz, new_xyz, 0.5, 8))
+    got = np.asarray(jax.jit(lambda a, b: ball_query_sharded(
+        a, b, 0.5, 8, mesh, axis="data"))(xyz, new_xyz))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_spatial_axis_requires_ambient_mesh():
     import pytest
 
