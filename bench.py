@@ -116,6 +116,116 @@ def measure_train(cfg, model, vocab, emb_table, caption=True):
     return B / dt, dt * 1e3
 
 
+def _timed_harness(rep):
+    """Overhead-subtracted repetition timer shared by the floors and the
+    model-pass ladder: each measurement runs ``rep`` times inside ONE jit
+    (callers build the lax.scan with a data dependency between reps), the
+    host dispatch+scalar-readback overhead — ~27-40 ms over this tunnel,
+    measured LIVE on a trivial jitted program in the same process — is
+    subtracted, and the result divides by ``rep`` (NET convention,
+    TPU_DESIGN §10 / CLAUDE.md round-5 reconciliation)."""
+    def timed_call(fn_j, *args):
+        float(fn_j(*args, jnp.float32(0)))  # compile + warmup
+        ts = []
+        for s in range(5):
+            t0 = time.perf_counter()
+            float(fn_j(*args, jnp.float32((s + 1) * 1e-9)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    overhead_s = timed_call(jax.jit(lambda salt: salt + 1.0))
+
+    def timed(fn, *args):
+        t = timed_call(jax.jit(fn), *args)
+        return max(0.0, t - overhead_s) / rep * 1e3
+
+    return timed, overhead_s
+
+
+def measure_model_passes(cfg, vocab, REP=8, B=None):
+    """Model-level measured ladder for the floors accounting (VERDICT r4 #4
+    follow-through): the live B16 detection-only EVAL pass (the denominator
+    the eval accounting previously hardcoded at its round-4 measurement of
+    87 ms), plus the backbone-only EVAL and TRAIN (fwd+bwd, real batch-stat
+    BN) passes — so the voting+proposal(+losses+Adam) residue is attributed
+    as measured deltas instead of unexplained remainder.  Returns a dict of
+    milliseconds: det_eval_ms, backbone_eval_ms, backbone_train_ms.
+    ``B`` defaults to the train batch (16); the CPU smoke test shrinks it."""
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.data.synthetic import make_device_train_batch
+    from scan2cap_tpu.models import CapNet
+    from scan2cap_tpu.models.backbone import Pointnet2Backbone
+
+    B = TRAIN_BATCH if B is None else B
+    cfg_det = ModelConfig(**{
+        **cfg.__dict__, "no_caption": True, "num_graph_steps": 0,
+        "use_relation": False, "use_topdown": False,
+        "use_orientation": False})
+    model_det = CapNet(cfg_det, num_vocabs=NUM_VOCABS)
+    batch = make_device_train_batch(cfg_det, B, vocab, key_seed=13)
+    init = jax.jit(model_det.init,
+                   static_argnames=("use_tf", "is_eval", "train"))
+    variables = init(jax.random.PRNGKey(1), batch,
+                     use_tf=False, is_eval=True, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    timed, _ = _timed_harness(REP)
+
+    def det_eval_rep(params, stats, batch, salt):
+        def body(acc, i):
+            b = dict(batch)
+            b["point_clouds"] = (batch["point_clouds"]
+                                 + (salt + acc * 1e-20) * (i + 1))
+            out = model_det.apply({"params": params, "batch_stats": stats},
+                                  b, use_tf=False, is_eval=True, train=False)
+            return acc + (jnp.sum(out["objectness_scores"][:, ::16])
+                          + jnp.sum(out["bbox_corner"][:, ::16, 0])), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    det_eval_ms = timed(det_eval_rep, params, stats, batch)
+
+    bb = Pointnet2Backbone(cfg.input_feature_dim)
+    pc = batch["point_clouds"]
+    bb_vars = jax.jit(bb.init, static_argnums=(2,))(
+        jax.random.PRNGKey(2), {"point_clouds": pc}, False)
+    bparams, bstats = bb_vars["params"], bb_vars["batch_stats"]
+
+    def bb_eval_rep(p, st, pc, salt):
+        def body(acc, i):
+            out = bb.apply(
+                {"params": p, "batch_stats": st},
+                {"point_clouds": pc + (salt + acc * 1e-20) * (i + 1)}, False)
+            return acc + jnp.sum(out["fp2_features"][:, ::64, 0]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    bb_eval_ms = timed(bb_eval_rep, bparams, bstats, pc)
+
+    def bb_train_rep(p, st, pc, salt):
+        def body(acc, i):
+            def loss(pp):
+                out, _ = bb.apply(
+                    {"params": pp, "batch_stats": st},
+                    {"point_clouds": pc + (salt + acc * 1e-20) * (i + 1)},
+                    True, 0.1, mutable=["batch_stats"])
+                return jnp.sum(out["fp2_features"] ** 2) * 1e-8
+            l, g = jax.value_and_grad(loss)(p)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            return acc + l + gsum * 1e-9, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    bb_train_ms = timed(bb_train_rep, bparams, bstats, pc)
+
+    return {"det_eval_ms": round(det_eval_ms, 1),
+            "backbone_eval_ms": round(bb_eval_ms, 1),
+            "backbone_train_ms": round(bb_train_ms, 1)}
+
+
 def _mlp_bn_chains(B, M, S, dtype=jnp.float32):
     """Functional replicas of the backbone's four SA MLP/BN chains — the
     HBM-bound tail the round-4 floors digest left unaccounted (VERDICT r4
@@ -189,7 +299,8 @@ def _mlp_bn_chains(B, M, S, dtype=jnp.float32):
 
 
 def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
-                   train_step_ms=None, caption_graph_delta_ms=None):
+                   train_step_ms=None, caption_graph_delta_ms=None,
+                   det_train_ms=None, model_passes=None):
     """Live per-op floor accounting for the three dominant eval-path ops at
     the B=16 sa1 shapes (VERDICT r2 item 9: the perf-is-closed claim must be
     auditable from the bench artifact alone).
@@ -222,22 +333,10 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
     gidx = jax.block_until_ready(
         jax.jit(lambda k: jax.random.randint(k, (B, M, S), 0, N))(key))
 
-    def timed_call(fn_j, *args):
-        float(fn_j(*args, jnp.float32(0)))  # compile + warmup
-        ts = []
-        for s in range(5):
-            t0 = time.perf_counter()
-            float(fn_j(*args, jnp.float32((s + 1) * 1e-9)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
     # the dispatch+readback cost every timed call below also pays: a trivial
-    # program whose execution is ~0, so its wall time IS the overhead.
-    overhead_s = timed_call(jax.jit(lambda salt: salt + 1.0))
-
-    def timed(fn, *args):
-        t = timed_call(jax.jit(fn), *args)
-        return max(0.0, t - overhead_s) / REP * 1e3
+    # program whose execution is ~0, so its wall time IS the overhead
+    # (shared harness, also used by measure_model_passes).
+    timed, overhead_s = _timed_harness(REP)
 
     def fps_rep(x, salt):
         def body(acc, i):
@@ -354,15 +453,66 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                               jnp.arange(REP, dtype=jnp.float32))
         return acc
 
+    # the two FP (feature-propagation) layers, REAL modules at the flagship
+    # fp shapes (fp1: sa4->sa3, fp2: sa3->sa2; both (512->256->256) MLPs) —
+    # measured, not floored: three_nn + interpolate + the MLPs are each
+    # small but sum to a couple ms the accounting otherwise can't see
+    from scan2cap_tpu.models.backbone import PointnetFPModule
+
+    n2, n3, n4 = max(M // 2, 1), max(M // 4, 1), max(M // 8, 1)
+    kf = jax.random.fold_in(key, 77)
+    fpmod = PointnetFPModule(mlp=(256, 256))
+    u2, u3 = xyz[:, :n2], xyz[:, :n3]
+    k3, k4 = xyz[:, :n3], xyz[:, :n4]
+    f2, f3, f4 = (jax.block_until_ready(jax.jit(
+        lambda k, n=n: jax.random.normal(k, (B, n, 256)) * 0.1)(
+            jax.random.fold_in(kf, j)))
+        for j, n in enumerate((n2, n3, n4)))
+    fp_vars = jax.jit(lambda k: fpmod.init(k, u3, k4, f3, f4, False))(kf)
+
+    def fp_eval_rep(vars_, u2, u3, k3, k4, f2, f3, f4, salt):
+        def body(acc, i):
+            d = (salt + acc * 1e-20) * (i + 1)
+            o1 = fpmod.apply(vars_, u3 + d, k4, f3, f4, False)
+            o2 = fpmod.apply(vars_, u2 + d, k3, f2, o1, False)
+            return acc + jnp.sum(o2[:, ::64, 0]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
+    def fp_train_rep(vars_, u2, u3, k3, k4, f2, f3, f4, salt):
+        def body(acc, i):
+            d = (salt + acc * 1e-20) * (i + 1)
+
+            def loss(vs):
+                o1, _ = fpmod.apply(vs, u3 + d, k4, f3, f4, True, 0.1,
+                                    mutable=["batch_stats"])
+                o2, _ = fpmod.apply(vs, u2 + d, k3, f2, o1, True, 0.1,
+                                    mutable=["batch_stats"])
+                return jnp.sum(o2 ** 2) * 1e-8
+            l, g = jax.value_and_grad(loss)(vars_)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            return acc + l + gsum * 1e-9, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
     def entry(measured, floor, basis):
         return {"measured_ms": round(measured, 2), "floor_ms": floor,
                 "ratio": round(measured / floor, 2) if floor > 0 else None,
                 "floor_basis": basis}
 
+    def measured_entry(measured, basis):
+        return {"measured_ms": round(measured, 2), "floor_ms": None,
+                "ratio": None, "floor_basis": basis}
+
     bw_ms = timed(bw_rep, stream)
     hbm_gbps = (stream_bytes / (bw_ms * 1e-3) / 1e9) if bw_ms > 0 else None
     mlp_eval_ms = timed(mlp_eval_rep, xs, wss)
     mlp_train_ms = timed(mlp_train_rep, xs, wss)
+    fp_args = (fp_vars, u2, u3, k3, k4, f2, f3, f4)
+    fp_eval_ms = timed(fp_eval_rep, *fp_args)
+    fp_train_ms = timed(fp_train_rep, *fp_args)
 
     def bytes_floor(nbytes):
         return (round(nbytes / (hbm_gbps * 1e9) * 1e3, 1)
@@ -423,52 +573,92 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
             "model holds for train; measured ratio 1.09) / live HBM "
             "bandwidth; includes batch-stat BN reductions and "
             "weight-gradient contractions"),
+        "fp_chain_eval": measured_entry(
+            fp_eval_ms,
+            "fp1+fp2 REAL PointnetFPModules (three_nn + weighted "
+            "interpolate + (512->256->256) MLP/BN) at the flagship fp "
+            "shapes, eval mode; measured, not floored"),
+        "fp_chain_train": measured_entry(
+            fp_train_ms,
+            "fp1+fp2 fwd+bwd (real batch-stat BN, value_and_grad over the "
+            "module params); measured, not floored"),
     }
 
     # step coverage (VERDICT r4 #4: the floored/measured components must
     # account for >=90% of the measured step so "dense and at floor" is
-    # certified, not inferred)
-    train_sum = (res["fps"]["measured_ms"] + res["ball_query"]["measured_ms"]
-                 + res["sa1_gather"]["measured_ms"]
-                 + res["sa1_dw_gather"]["measured_ms"]
-                 + res["sa2_4_gathers"]["measured_ms"]
-                 + res["mlp_bn_train"]["measured_ms"]
+    # certified, not inferred).  Two-level ladder: the backbone interior is
+    # covered by the per-op floors above; the voting+proposal(+losses+Adam)
+    # and caption+graph remainders are MEASURED model-pass deltas
+    # (measure_model_passes / the detection-only train step in main).
+    mp = model_passes or {}
+    det_eval_ms = mp.get("det_eval_ms")
+    bb_eval_ms = mp.get("backbone_eval_ms")
+    bb_train_ms = mp.get("backbone_train_ms")
+    vp_eval_delta = (round(det_eval_ms - bb_eval_ms, 1)
+                     if det_eval_ms and bb_eval_ms else None)
+    vp_train_delta = (round(det_train_ms - bb_train_ms, 1)
+                      if det_train_ms and bb_train_ms else None)
+
+    bb_train_sum = (res["fps"]["measured_ms"]
+                    + res["ball_query"]["measured_ms"]
+                    + res["sa1_gather"]["measured_ms"]
+                    + res["sa1_dw_gather"]["measured_ms"]
+                    + res["sa2_4_gathers"]["measured_ms"]
+                    + res["mlp_bn_train"]["measured_ms"]
+                    + res["fp_chain_train"]["measured_ms"])
+    bb_eval_sum = (res["fps"]["measured_ms"]
+                   + res["ball_query"]["measured_ms"]
+                   + res["sa1_gather"]["measured_ms"]
+                   + res["sa2_4_gathers"]["measured_ms"]
+                   + res["mlp_bn_eval"]["measured_ms"]
+                   + res["fp_chain_eval"]["measured_ms"])
+    train_sum = (bb_train_sum + (vp_train_delta or 0.0)
                  + (caption_graph_delta_ms or 0.0))
-    eval_sum = (res["fps"]["measured_ms"] + res["ball_query"]["measured_ms"]
-                + res["sa1_gather"]["measured_ms"]
-                + res["sa2_4_gathers"]["measured_ms"]
-                + res["mlp_bn_eval"]["measured_ms"])
+    eval_sum = bb_eval_sum + (vp_eval_delta or 0.0)
     _default_shape = (B, N, M, S) == (16, 40000, 2048, 64)
+    # prefer the LIVE measured detection-eval pass as the denominator; the
+    # 87 ms constant (the round-4 measurement, TPU_DESIGN §6c) only backs
+    # it up at the default flagship shape
+    eval_den = det_eval_ms or (87.0 if _default_shape else None)
     res["accounted"] = {
         "train_step": {
             "sum_ms": round(train_sum, 1),
             "step_ms": train_step_ms,
             "coverage": (round(train_sum / train_step_ms, 2)
                          if train_step_ms else None),
+            "backbone_components_ms": round(bb_train_sum, 1),
+            "backbone_step_ms": bb_train_ms,
+            "backbone_coverage": (round(bb_train_sum / bb_train_ms, 2)
+                                  if bb_train_ms else None),
+            "voting_proposal_losses_adam_delta_ms": vp_train_delta,
             "caption_graph_delta_ms": (
                 None if caption_graph_delta_ms is None
                 else round(caption_graph_delta_ms, 1)),
             "note": "fps + bq + sa1 fwd/dW gathers + sa2-4 gathers + BN/MLP "
-                    "fwd+bwd tail + the measured full-minus-detection-only "
-                    "step delta (caption decoder + graph fwd+bwd — "
-                    "latency/MXU-bound, measured not floored) vs the B16 "
-                    "train step measured in THIS run; the residue is fp/"
-                    "voting/proposal heads, losses, and Adam"},
+                    "fwd+bwd tail + fp chain, plus two MEASURED deltas: "
+                    "detection-train minus backbone-train (voting/proposal "
+                    "fwd+bwd, losses, Adam) and full minus detection-only "
+                    "(caption decoder + graph fwd+bwd) — vs the B16 train "
+                    "step measured in THIS run"},
         "eval_detection": {
             "sum_ms": round(eval_sum, 1),
-            # the 87 ms reference is the MEASURED B16 flagship detection
-            # pass (TPU_DESIGN §6c) — only meaningful at that shape, so
-            # non-default invocations (CPU tests, batch sweeps) report no
-            # coverage rather than a ratio against the wrong denominator
+            "step_ms_measured": det_eval_ms,
             "step_ms_ref": (87.0 if _default_shape else None),
-            "coverage": (round(eval_sum / 87.0, 2) if _default_shape
+            "coverage": (round(eval_sum / eval_den, 2) if eval_den
                          else None),
-            "note": "vs the B16 detection pass (TPU_DESIGN §6c; the eval "
-                    "headline runs B8 and adds the ~21 ms latency-bound "
-                    "decode, which has no bandwidth floor); the residue "
-                    "is fp interpolation, voting/proposal MLPs+heads and "
-                    "the sa2-4 ball queries (each ~1/40th of sa1's "
-                    "distance work)"},
+            "backbone_components_ms": round(bb_eval_sum, 1),
+            "backbone_step_ms": bb_eval_ms,
+            "backbone_coverage": (round(bb_eval_sum / bb_eval_ms, 2)
+                                  if bb_eval_ms else None),
+            "voting_proposal_delta_ms": vp_eval_delta,
+            "note": "backbone components + the MEASURED detection-eval "
+                    "minus backbone-eval delta (voting + proposal incl. "
+                    "its own fps/ball-query/gather + heads) vs the live "
+                    "B16 detection-eval pass (the eval headline runs B8 "
+                    "and adds the ~21 ms latency-bound decode, which has "
+                    "no bandwidth floor); the backbone residue is the "
+                    "sa2-4 ball queries (each ~1/40th of sa1's distance "
+                    "work) and per-layer glue"},
     }
     return res
 
@@ -563,7 +753,7 @@ def main():
 
     scenes_per_sec = BATCH / dt
 
-    cap_delta_ms = None
+    cap_delta_ms = det_ms = None
     floors_enabled = os.environ.get("SCAN2CAP_BENCH_FLOORS", "1") != "0"
     if os.environ.get("SCAN2CAP_BENCH_TRAIN", "1") != "0":
         train_sps, train_ms = measure_train(cfg, model, vocab, emb_table)
@@ -594,8 +784,23 @@ def main():
 
     floors = None
     if floors_enabled:
-        floors = measure_floors(train_step_ms=train_ms,
-                                caption_graph_delta_ms=cap_delta_ms)
+        model_passes = None
+        try:
+            # model-pass ladder: live detection-eval denominator + the
+            # backbone-only eval/train passes the accounting deltas need
+            model_passes = measure_model_passes(cfg, vocab)
+        except Exception as exc:  # same rule: auxiliary, never fatal
+            print(f"[bench] model-pass ladder skipped: {exc!r}",
+                  file=sys.stderr)
+        try:
+            floors = measure_floors(train_step_ms=train_ms,
+                                    caption_graph_delta_ms=cap_delta_ms,
+                                    det_train_ms=det_ms,
+                                    model_passes=model_passes)
+        except Exception as exc:  # floors are diagnostics: a late tunnel
+            # drop must still leave the headline JSON on stdout
+            print(f"[bench] floors skipped: {exc!r}", file=sys.stderr)
+            floors = {"error": repr(exc)}
 
     print(json.dumps({
         "metric": "eval_scenes_per_sec_chip",

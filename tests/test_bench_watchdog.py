@@ -61,8 +61,11 @@ def test_measure_floors_structure(bench_mod):
     ratio, a basis string per op, and the subtracted dispatch overhead;
     exercised at toy shapes on CPU (where overhead can exceed the op cost,
     so measured_ms may legitimately clamp to 0)."""
-    floors = bench_mod.measure_floors(B=2, N=512, M=64, S=8, REP=2,
-                                      train_step_ms=100.0)
+    floors = bench_mod.measure_floors(
+        B=2, N=512, M=64, S=8, REP=2, train_step_ms=100.0,
+        det_train_ms=80.0,
+        model_passes={"det_eval_ms": 50.0, "backbone_eval_ms": 40.0,
+                      "backbone_train_ms": 60.0})
     assert floors["dispatch_overhead_ms"] >= 0
     assert floors["rep"] == 2
     for op in ("fps", "ball_query", "sa1_gather", "sa1_dw_gather",
@@ -78,6 +81,11 @@ def test_measure_floors_structure(bench_mod):
         else:  # toy shapes can round the slice-count floor to 0.0
             assert floors[op]["ratio"] is None
         assert floors[op]["floor_basis"]
+    # measured-only entries (no floor, ratio None by construction)
+    for op in ("fp_chain_eval", "fp_chain_train"):
+        assert floors[op]["measured_ms"] >= 0
+        assert floors[op]["floor_ms"] is None
+        assert floors[op]["ratio"] is None
     # the HBM stream denominator + step-coverage block (VERDICT r4 #4)
     assert floors["hbm"]["stream_mb_per_rep"] > 0
     acc = floors["accounted"]
@@ -85,6 +93,42 @@ def test_measure_floors_structure(bench_mod):
     assert acc["train_step"]["coverage"] == pytest.approx(
         acc["train_step"]["sum_ms"] / 100.0, abs=0.01)
     assert acc["eval_detection"]["sum_ms"] >= 0
+    # the model-pass ladder deltas: det-train minus backbone-train and
+    # det-eval minus backbone-eval, plus live eval denominator + backbone
+    # sub-coverage
+    assert acc["train_step"][
+        "voting_proposal_losses_adam_delta_ms"] == pytest.approx(20.0)
+    assert acc["train_step"]["backbone_step_ms"] == 60.0
+    assert acc["train_step"]["backbone_coverage"] == pytest.approx(
+        acc["train_step"]["backbone_components_ms"] / 60.0, abs=0.01)
+    ev = acc["eval_detection"]
+    assert ev["voting_proposal_delta_ms"] == pytest.approx(10.0)
+    assert ev["step_ms_measured"] == 50.0
+    assert ev["coverage"] == pytest.approx(ev["sum_ms"] / 50.0, abs=0.01)
+    # without the ladder the toy-shape eval coverage must stay None (the
+    # 87 ms reference is only valid at the default flagship shape)
+    floors_min = bench_mod.measure_floors(B=2, N=512, M=64, S=8, REP=2)
+    assert floors_min["accounted"]["eval_detection"]["coverage"] is None
+    assert floors_min["accounted"]["train_step"][
+        "voting_proposal_losses_adam_delta_ms"] is None
+
+
+def test_measure_model_passes_smoke(bench_mod):
+    """The model-pass ladder (live detection-eval denominator + backbone
+    eval/train passes) must build and run at toy shapes on CPU — this is
+    the compile-surface guard for the TPU run."""
+    from scan2cap_tpu.config import ModelConfig
+    from scan2cap_tpu.data.synthetic import make_vocab
+
+    cfg = ModelConfig(num_points=512, num_proposals=16,
+                      sa_npoints=(128, 64, 32, 16), max_num_obj=8,
+                      num_locals=4)
+    vocab = make_vocab(num_vocabs=bench_mod.NUM_VOCABS,
+                       emb_size=cfg.emb_size)
+    mp = bench_mod.measure_model_passes(cfg, vocab, REP=2, B=2)
+    assert set(mp) == {"det_eval_ms", "backbone_eval_ms",
+                       "backbone_train_ms"}
+    assert all(v >= 0 for v in mp.values())
 
 
 class _FakeResult:
