@@ -423,6 +423,23 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                               jnp.arange(REP, dtype=jnp.int32))
         return acc
 
+    # sa2-4 ball queries at their real shapes/radii (each table is the
+    # previous layer's centers — reuse xyz prefixes); the last named piece
+    # of the eval backbone residue
+    def bq234_rep(x, salt):
+        t2, t3, t4 = x[:, :M], x[:, : M // 2], x[:, : M // 4]
+
+        def body(acc, i):
+            d = (salt + acc * 1e-20) * (i + 1)
+            a = jnp.sum(ball_query(t2 + d, t2[:, : M // 2], 2 * R,
+                                   max(S // 2, 1)) % 128)
+            b = jnp.sum(ball_query(t3 + d, t3[:, : M // 4], 4 * R, s34) % 128)
+            c = jnp.sum(ball_query(t4 + d, t4[:, : M // 8], 6 * R, s34) % 128)
+            return jnp.float32(a + b + c), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REP, dtype=jnp.float32))
+        return acc
+
     # BN/MLP chains (the four SA pyramids); weights perturbed per rep (KBs)
     # so no two reps fold together while the big activations stay untouched
     xs, wss, chain_fwd, chain_bytes, chain_bytes_min = _mlp_bn_chains(B, M, S)
@@ -573,6 +590,12 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
             "model holds for train; measured ratio 1.09) / live HBM "
             "bandwidth; includes batch-stat BN reductions and "
             "weight-gradient contractions"),
+        "bq_sa2_4": measured_entry(
+            timed(bq234_rep, xyz),
+            "exact bitmask ball query at the sa2-4 shapes "
+            "((2048->1024, r 0.4, S 32), (1024->512, 0.8, 16), "
+            "(512->256, 1.2, 16)); measured, not floored — each is "
+            "~1/40th of sa1's distance work"),
         "fp_chain_eval": measured_entry(
             fp_eval_ms,
             "fp1+fp2 REAL PointnetFPModules (three_nn + weighted "
@@ -604,12 +627,14 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                     + res["sa1_gather"]["measured_ms"]
                     + res["sa1_dw_gather"]["measured_ms"]
                     + res["sa2_4_gathers"]["measured_ms"]
+                    + res["bq_sa2_4"]["measured_ms"]
                     + res["mlp_bn_train"]["measured_ms"]
                     + res["fp_chain_train"]["measured_ms"])
     bb_eval_sum = (res["fps"]["measured_ms"]
                    + res["ball_query"]["measured_ms"]
                    + res["sa1_gather"]["measured_ms"]
                    + res["sa2_4_gathers"]["measured_ms"]
+                   + res["bq_sa2_4"]["measured_ms"]
                    + res["mlp_bn_eval"]["measured_ms"]
                    + res["fp_chain_eval"]["measured_ms"])
     train_sum = (bb_train_sum + (vp_train_delta or 0.0)
@@ -656,9 +681,8 @@ def measure_floors(B=16, N=40000, M=2048, S=64, R=0.2, REP=8,
                     "its own fps/ball-query/gather + heads) vs the live "
                     "B16 detection-eval pass (the eval headline runs B8 "
                     "and adds the ~21 ms latency-bound decode, which has "
-                    "no bandwidth floor); the backbone residue is the "
-                    "sa2-4 ball queries (each ~1/40th of sa1's distance "
-                    "work) and per-layer glue"},
+                    "no bandwidth floor); the backbone residue is "
+                    "per-layer glue (recentering, concat, index plumbing)"},
     }
     return res
 

@@ -82,7 +82,7 @@ def test_measure_floors_structure(bench_mod):
             assert floors[op]["ratio"] is None
         assert floors[op]["floor_basis"]
     # measured-only entries (no floor, ratio None by construction)
-    for op in ("fp_chain_eval", "fp_chain_train"):
+    for op in ("fp_chain_eval", "fp_chain_train", "bq_sa2_4"):
         assert floors[op]["measured_ms"] >= 0
         assert floors[op]["floor_ms"] is None
         assert floors[op]["ratio"] is None
