@@ -11,7 +11,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from scan2cap_tpu.config import ModelConfig, SCANNET_MEAN_SIZE_ARR

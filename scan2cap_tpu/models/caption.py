@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from scan2cap_tpu.models.layers import GRUCell
-from scan2cap_tpu.models.graph import query_locals_dense, bbox_centers
+from scan2cap_tpu.models.graph import (query_locals_dense, bbox_centers,
+                                       mask_and_topk_locals)
 from scan2cap_tpu.ops.boxes import box3d_iou_batch, box3d_iou_matrix
 
 
@@ -68,14 +69,10 @@ def query_locals_for_targets(
     else:
         raise ValueError(f"invalid query_mode {query_mode}")
 
-    INF = jnp.asarray(1e30, dist.dtype)
-    dist = jnp.where(object_masks == 0, INF, dist)
     iou = box3d_iou_batch(jnp.broadcast_to(t_corners, corners.shape), corners)
-    dist = jnp.where(iou >= overlay_threshold, INF, dist)
-    self_mask = jax.nn.one_hot(target_ids, K, dtype=bool)
-    dist = jnp.where(self_mask, 0.0, dist)
-
-    _, topk = jax.lax.top_k(-dist, num_locals)
+    topk = mask_and_topk_locals(
+        dist, object_masks == 0, iou, jax.nn.one_hot(target_ids, K, dtype=bool),
+        num_locals, overlay_threshold)
     masks = jnp.zeros((B, K), jnp.float32)
     return masks.at[jnp.arange(B)[:, None], topk].set(1.0)
 

@@ -52,6 +52,17 @@ class PointnetEncoder(nn.Module):
             return feat, preds
 
         if self.whole_scene:
+            if train:
+                # eval/extraction-only mode (the reference pairs it with
+                # is_eval dataset filtering and chunks over VALID crops
+                # only, encoder_module.py:111-163): train-mode BatchNorm
+                # here would fold the zero-padded invalid crops into the
+                # batch statistics — fail loudly instead of silently
+                # training on polluted stats
+                raise ValueError(
+                    "PointnetEncoder(whole_scene=True) is eval/extraction-"
+                    "only: train with per-object crops (whole_scene=False) "
+                    "and reuse the weights for whole-scene encoding")
             B, M, N, C = pc.shape
             feat, preds = encode(pc.reshape(B * M, N, C))
             mask = d["target_masks"][..., None].astype(feat.dtype)

@@ -95,7 +95,10 @@ class Bottleneck(nn.Module):
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="expand")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, name="bn3")(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=True)(h)
+        # spatial dropout per the reference stages (enet.py rates 0.01/0.1);
+        # inert at train=False (the extraction path) — fine-tuning with
+        # train=True requires a "dropout" rng at apply, which flax enforces
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
 
         shortcut = x
         if self.downsample:

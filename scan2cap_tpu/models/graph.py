@@ -42,6 +42,25 @@ def bbox_centers(corners: jax.Array) -> jax.Array:
     return (jnp.min(corners, axis=-2) + jnp.max(corners, axis=-2)) / 2.0
 
 
+def mask_and_topk_locals(dist: jax.Array, invalid: jax.Array,
+                         iou: jax.Array, self_mask: jax.Array,
+                         num_locals: int, overlay_threshold: float,
+                         include_self: bool = True) -> jax.Array:
+    """THE locality rule (_query_locals, caption_module.py:322-363 ==
+    graph_module.py:182-222), shared by ``query_locals_dense`` (all targets,
+    graph/train) and ``caption.query_locals_for_targets`` (one target per
+    sample) so the two paths cannot drift: invalid neighbors -> INF,
+    overlapping boxes (IoU >= threshold, includes self at IoU=1) -> INF,
+    then the self slot -> 0 (include_self) or INF, then the
+    ``num_locals`` SMALLEST distances win.  All masks broadcast against
+    ``dist`` (last axis = K neighbor slots); returns the top-k indices."""
+    INF = jnp.asarray(1e30, dist.dtype)
+    dist = jnp.where(invalid, INF, dist)
+    dist = jnp.where(iou >= overlay_threshold, INF, dist)
+    dist = jnp.where(self_mask, 0.0 if include_self else INF, dist)
+    return jax.lax.top_k(-dist, num_locals)[1]
+
+
 def query_locals_dense(
     corners: jax.Array,          # (B, K, 8, 3)
     object_masks: jax.Array,     # (B, K) 0/1
@@ -71,18 +90,11 @@ def query_locals_dense(
     else:
         raise ValueError(f"invalid query_mode {query_mode}")
 
-    INF = jnp.asarray(1e30, dist.dtype)
-    # invalid neighbor columns
-    dist = jnp.where(object_masks[:, None, :] == 0, INF, dist)
-    # overlapping boxes (IoU >= threshold) excluded — includes self (IoU=1)
     iou = jax.vmap(box3d_iou_matrix)(corners, corners)               # (B,K,K)
-    dist = jnp.where(iou >= overlay_threshold, INF, dist)
-    # self distance: 0 if include_self else INF
-    eye = jnp.eye(K, dtype=bool)[None]
-    dist = jnp.where(eye, 0.0 if include_self else INF, dist)
-
-    # top-num_locals smallest distances
-    _, topk_ids = jax.lax.top_k(-dist, num_locals)                   # (B,K,L)
+    topk_ids = mask_and_topk_locals(
+        dist, object_masks[:, None, :] == 0, iou,
+        jnp.eye(K, dtype=bool)[None], num_locals, overlay_threshold,
+        include_self)                                                # (B,K,L)
 
     local_masks = jnp.zeros((B, K, K), jnp.float32)
     b_ix = jnp.arange(B)[:, None, None]

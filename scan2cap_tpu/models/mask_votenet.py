@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from scan2cap_tpu.config import ModelConfig, SCANNET_MEAN_SIZE_ARR

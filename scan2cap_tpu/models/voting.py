@@ -8,7 +8,6 @@ vote.  Channels-last: conv1d == Dense on the trailing axis.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from scan2cap_tpu.models.layers import BatchNorm

@@ -39,7 +39,11 @@ def _nms_single(corners: jax.Array, scores: jax.Array, classes: jax.Array,
     if same_cls:
         iou = iou * (classes[:, None] == classes[None, :])
 
-    order = jnp.argsort(-scores, stable=True)
+    # reference utils/nms.py:82 sorts ASCENDING and pops from the end, so
+    # among exactly tied scores the HIGHER proposal index is visited (and
+    # kept) first; sorting the reversed array emulates that tie order
+    # (plain argsort(-scores, stable) would prefer the lower index)
+    order = (K - 1) - jnp.argsort(-scores[::-1], stable=True)
     iou_s = iou[order][:, order]              # sorted-rank space
     earlier = (jnp.arange(K)[None, :] < jnp.arange(K)[:, None])
     suppress_candidate = (iou_s > iou_threshold) & earlier  # (rank, earlier rank)

@@ -77,6 +77,21 @@ def test_nms_suppresses_duplicates():
     np.testing.assert_array_equal(keep2[0], [True, True, True])
 
 
+def test_nms_tie_break_matches_reference_order():
+    """Exactly tied scores (real case: coincident vote clusters produce
+    duplicate proposals): the reference's ascending argsort + pop-from-the-
+    end keeps the HIGHER proposal index — ours must too."""
+    box = _corners([0, 0, 0], [1, 1, 1])
+    corners = np.stack([box, box])[None]
+    scores = np.array([[0.5, 0.5]], np.float32)
+    classes = np.zeros((1, 2), np.int32)
+    keep = np.asarray(nms_3d(jnp.asarray(corners), jnp.asarray(scores),
+                             jnp.asarray(classes)))
+    np.testing.assert_array_equal(keep[0], [False, True])
+    want = nms_numpy(corners[0], scores[0], classes[0], 0.25, True)
+    np.testing.assert_array_equal(keep[0], want)
+
+
 def test_voc_ap_perfect():
     rec = np.array([0.5, 1.0])
     prec = np.array([1.0, 1.0])

@@ -41,6 +41,31 @@ def test_object_dataset_whole_scene(tmp_path, rng):
     assert d["object_bbox_corners"].shape == (4, 8, 3)
 
 
+def test_encoder_whole_scene_eval_only(rng):
+    """whole_scene mode: eval forward works (masked per-object features);
+    train mode fails loudly — train-mode BN would fold the zero-padded
+    invalid crops into the batch statistics (the reference chunks over
+    valid crops only, encoder_module.py:111-163)."""
+    import pytest
+
+    model = PointnetEncoder(input_feature_dim=2, whole_scene=True,
+                            sa_npoints=(64, 32, 16, 8))
+    pc = jnp.asarray(rng.rand(1, 3, 256, 5).astype(np.float32))
+    batch = {"point_clouds": pc,
+             "target_masks": jnp.asarray([[1, 1, 0]], jnp.int32)}
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False)
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
+    assert out["enc_features"].shape == (1, 3, 128)
+    # invalid crop slots are zero-masked
+    assert float(jnp.abs(out["enc_features"][0, 2]).max()) == 0.0
+    assert float(jnp.abs(out["enc_features"][0, 0]).max()) > 0.0
+
+    with pytest.raises(ValueError, match="eval/extraction-only"):
+        model.init(jax.random.PRNGKey(0), batch, train=True)
+
+
 def test_encoder_and_object_loss(tmp_path, rng):
     ds = _dataset(tmp_path, rng)
     samples = [ds.__getitem__(i, rs=np.random.RandomState(i)) for i in range(2)]
