@@ -24,7 +24,8 @@ def parse_args():
     p.add_argument("--no_caption", action="store_true")
     p.add_argument("--no_detection", action="store_true")
     p.add_argument("--no_densecap", action="store_true")
-    p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--verbose", action=argparse.BooleanOptionalAction,
+                   default=True)  # --no-verbose turns it off (was a dead flag)
     p.add_argument("--rotated_boxes", action="store_true",
                    help="polygon-clip gIoU assignment for z-rotated boxes "
                         "(reference rotated_boxes=True path; ScanNet boxes "

@@ -71,20 +71,25 @@ def predict_caption(args):
         num_points=mcfg.num_points, use_height=mcfg.use_height,
         use_color=mcfg.use_color, use_normal=mcfg.use_normal,
         use_multiview=mcfg.use_multiview, multiview_path=paths.multiview)
-    train_ds = ScannetReferenceDataset(
-        scanrefer_train, scene_list, split="train", augment=False, **common)
+    # the vocabulary comes from the TRAIN split's tokens + glove alone — a
+    # full train ScannetReferenceDataset would eagerly np.load every train
+    # scene's four .npy arrays (minutes of fresh-page faults on this host
+    # class) just to reach these three attributes
+    from scan2cap_tpu.data.vocab import build_vocabulary, load_glove
+    glove = load_glove(paths.glove)
+    vocabulary = build_vocabulary(scanrefer_train, glove)
     ds = ScannetReferenceDataset(
         eval_entries, scene_list, split=args.split, augment=False,
-        vocab=train_ds.vocabulary, glove=train_ds.glove, **common)
+        vocab=vocabulary, glove=glove, **common)
     loader = Loader(ds, args.batch_size, shuffle=False, seed=args.seed,
                     drop_last=False)
 
-    model = CapNet(mcfg, num_vocabs=train_ds.num_vocabs,
+    model = CapNet(mcfg, num_vocabs=ds.num_vocabs,
                    num_vocabs_padded=int(info.get("num_vocabs_padded", 0)
                                          or 0))
     example = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in example.items()}
-    example["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+    example["glove_emb_table"] = jnp.asarray(ds.emb_table)
     state = create_train_state(cfg, model, example, jax.random.PRNGKey(args.seed))
     restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
         {"params": state.params, "batch_stats": state.batch_stats})
@@ -96,7 +101,7 @@ def predict_caption(args):
     idx2word = ds.vocabulary["idx2word"]
     for batch in loader:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        jbatch["glove_emb_table"] = jnp.asarray(train_ds.emb_table)
+        jbatch["glove_emb_table"] = jnp.asarray(ds.emb_table)
         out = eval_step(state, jbatch)
         obj_prob = jax.nn.softmax(out["objectness_scores"], axis=-1)
         sem_prob = jax.nn.softmax(out["sem_cls_scores"], axis=-1)

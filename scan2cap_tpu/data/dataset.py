@@ -439,8 +439,12 @@ class Loader:
         # this class of VM vs ~0.1 ms/MB for allocator-reused pages).
         # CONTRACT: a yielded batch is only valid until two more batches
         # have been consumed — copy (or upload to device, as the train loop
-        # does) before then.  Off by default.
+        # does) before then.  The slot counter persists across epochs
+        # (self._ring_pos) so the window also holds over an epoch boundary:
+        # a consumer still holding the last batch of epoch N is not
+        # overwritten by epoch N+1's initial prefetch.  Off by default.
         self.reuse_buffers = reuse_buffers
+        self._ring_pos = 0
         # worker pool + buffer ring live on the INSTANCE so the
         # zero-fresh-page steady state survives across epochs (shapes are
         # static; rebuilding them per __iter__ re-paid seconds of page
@@ -491,10 +495,10 @@ class Loader:
             self._buffers = [None] * nbuf
         # an early-broken previous epoch may have left workers writing into
         # the shared ring — settle them before reusing the slots
-        for fs in self._inflight:
+        for _, fs in self._inflight:
             for f in fs:
                 f.cancel()
-        for fs in self._inflight:
+        for _, fs in self._inflight:
             for f in fs:
                 if not f.cancelled():
                     try:
@@ -524,25 +528,30 @@ class Loader:
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             seeds = [(self.seed + epoch) * 100003 + int(i) for i in idxs]
             if self.reuse_buffers:
-                return [pool.submit(write_into, b % nbuf, r, int(i),
-                                    np.random.RandomState(sd))
-                        for r, (i, sd) in enumerate(zip(idxs, seeds))]
-            return [pool.submit(self.dataset.__getitem__, int(i),
-                                np.random.RandomState(sd))
-                    for i, sd in zip(idxs, seeds)]
+                # ring position persists across epochs (see __init__
+                # contract): the new epoch's prefetch lands in the slots
+                # AFTER the previous epoch's final batches
+                slot = self._ring_pos % nbuf
+                self._ring_pos += 1
+                return slot, [pool.submit(write_into, slot, r, int(i),
+                                          np.random.RandomState(sd))
+                              for r, (i, sd) in enumerate(zip(idxs, seeds))]
+            return None, [pool.submit(self.dataset.__getitem__, int(i),
+                                      np.random.RandomState(sd))
+                          for i, sd in zip(idxs, seeds)]
 
         window = self._inflight
         for b in range(min(self.PREFETCH_BATCHES, n_batches)):
             window.append(submit(b))
         for b in range(n_batches):
-            fs = window.popleft()
+            slot, fs = window.popleft()
             nxt = b + self.PREFETCH_BATCHES
             if nxt < n_batches:
                 window.append(submit(nxt))
             if self.reuse_buffers:
                 for f in fs:
                     f.result()          # barrier + error propagation
-                buf = buffers[b % nbuf]
+                buf = buffers[slot]
                 yield (buf if len(fs) == self.batch_size
                        else {k: v[:len(fs)] for k, v in buf.items()})
             else:

@@ -11,9 +11,10 @@ Caption(+graph)-only training over precomputed box features:
 
 * ``PretrainedVoteNetDataset`` — stored VoteNet proposals
   (``"{epoch}|{scene_id}_object_ids/_features/_bbox_corners/_gt_ids/
-  _gt_corners"``, :956-1037); K = 256; builds near-one-hot objectness and
-  semantic scores (1-1e-8, :861-871) so the downstream NMS/eval path is
-  reusable.
+  _gt_corners"``, :956-1037); K = 256; builds near-one-hot objectness
+  (the reference's fill(1e-8) construction, :861-862).  The reference
+  additionally emits ``sem_cls_scores`` from its aggregation-file mapping,
+  but no eval consumer on either side reads it, so it is not reproduced.
 """
 
 from __future__ import annotations
@@ -212,11 +213,13 @@ class PretrainedVoteNetDataset(_PretrainedBase):
         bbox_mask[:P] = 1
         prop_object_ids[:P] = object_ids[:P]
 
-        # near-one-hot objectness / semantic scores so NMS + eval reuse the
-        # scene machinery (lib/dataset_pretrained.py:861-871)
-        objectness = np.zeros((K, 2), np.float32)
-        objectness[:, 0] = 1e-8
-        objectness[np.arange(K), bbox_mask] = 1.0 - 1e-8
+        # near-one-hot objectness, the reference's fill construction
+        # (lib/dataset_pretrained.py:861-862): pads stay [1e-8, 1e-8]
+        # (obj-prob 0.5), valid slots [1e-8, 1-1e-8].  (The reference also
+        # emits sem_cls_scores from the aggregation-file mapping, but no
+        # eval consumer on either side reads it — not reproduced here.)
+        objectness = np.full((K, 2), 1e-8, np.float32)
+        objectness[:P, 1] = 1.0 - 1e-8
 
         # ref target box = GT box of the described object
         ref_box_corner_label = np.zeros((8, 3), np.float32)

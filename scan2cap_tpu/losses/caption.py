@@ -53,10 +53,12 @@ def compute_cap_loss(data_dict: dict) -> Tuple[jax.Array, jax.Array]:
 
 def radian_to_label(radians: jax.Array, num_bins: int = 6) -> jax.Array:
     """Discretize [0, pi] rotation angles into num_bins classes
-    (loss_helper.py:232-247, torch.bucketize right=False ==
-    searchsorted side='right')."""
+    (loss_helper.py:232-247).  torch.bucketize(right=False) returns the
+    first boundary index >= x, i.e. searchsorted side='left' — an angle
+    landing EXACTLY on a bin edge k*pi/6 belongs to class k, not k+1
+    (verified against torch; side='right' mislabeled exact edges)."""
     boundaries = jnp.arange(jnp.pi / num_bins, jnp.pi - 1e-8, jnp.pi / num_bins)
-    return jnp.searchsorted(boundaries, radians, side="right").astype(jnp.int32)
+    return jnp.searchsorted(boundaries, radians, side="left").astype(jnp.int32)
 
 
 def _edge_endpoint_gather(x: jax.Array, assignment: jax.Array,

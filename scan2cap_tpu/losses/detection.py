@@ -116,9 +116,12 @@ def compute_box_and_sem_cls_loss(data_dict: dict, num_heading_bin: int = 1,
     size_cls_loss = jnp.sum(
         _ce_logits(data_dict["size_scores"], size_cls_label) * objness
     ) / denom_obj
+    # size-1 broadcast axis, NEVER idx.repeat(C): a materialized channel
+    # axis makes XLA transpose the whole table (CLAUDE.md gather rule; the
+    # vote-label gather above cost ~94 ms/step until converted)
     size_res_label = jnp.take_along_axis(
         data_dict["size_residual_label"],
-        assignment[..., None].repeat(3, axis=-1), axis=1)   # (B, K, 3)
+        assignment[..., None], axis=1)                      # (B, K, 3)
     size_onehot = jax.nn.one_hot(size_cls_label, num_size_cluster)  # (B,K,NS)
     pred_size_res = jnp.sum(
         data_dict["size_residuals_normalized"] * size_onehot[..., None], axis=2)

@@ -103,14 +103,21 @@ class Solver:
         self.log_history[f"{phase}/{key}"].append((it, float(value)))
 
     # ------------------------------------------------------------------
-    def __call__(self, epochs: int, verbose: Optional[int] = None):
+    def __call__(self, epochs: int, verbose: Optional[int] = None,
+                 start_epoch: int = 0):
+        """Train epochs ``start_epoch``..``epochs``-1.  ``start_epoch`` is
+        the GLOBAL epoch offset on resume (scripts/train.py passes the
+        restored checkpoint epoch + 1): LR/BN schedules and the resume
+        bundle's recorded epoch all use global numbering, so a resumed run
+        continues its schedules instead of restarting them from 0 and a
+        twice-resumed run never miscounts total epochs."""
         if verbose is not None:
             self.verbose = verbose
-        total_iter = epochs * len(self.train_loader)
+        total_iter = (epochs - start_epoch) * len(self.train_loader)
         start = time.time()
-        epoch = 0          # the interrupt handler needs it bound even if
-        try:               # Ctrl-C lands before/after the loop body
-            for epoch in range(epochs):
+        epoch = start_epoch  # the interrupt handler needs it bound even if
+        try:                 # Ctrl-C lands before/after the loop body
+            for epoch in range(start_epoch, epochs):
                 self._log(f"epoch {epoch + 1} starting...")
                 lr = (multistep_lr(self.cfg.train.lr, epoch,
                                    self.cfg.train.lr_decay_steps,

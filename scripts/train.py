@@ -366,7 +366,10 @@ def train(args):
         json.dump(info, f, indent=4)
 
     print(f"start training... stamp: {stamp}")
-    solver(max(args.epoch - start_epoch, 0), args.verbose)
+    # global epoch numbering: a resume continues LR/BN schedules at the
+    # restored epoch and re-records GLOBAL epochs in the resume bundle
+    # (a second resume therefore cannot miscount total epochs)
+    solver(args.epoch, args.verbose, start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

@@ -286,6 +286,28 @@ def test_loader_ring_overwrites_after_window():
     assert overwritten
 
 
+def test_loader_ring_window_holds_across_epochs():
+    """The 2-batch validity window must survive an epoch boundary: a
+    consumer still holding the LAST batch of epoch N is not overwritten by
+    epoch N+1's initial prefetch (the slot counter persists, so the new
+    epoch's batches land in the slots after it)."""
+    ds = _ToyRing()
+    ring = Loader(ds, batch_size=2, shuffle=False, seed=0, num_workers=2,
+                  reuse_buffers=True)
+    last = None
+    for last in ring:                 # epoch 0 to completion
+        pass
+    held = {k: v.copy() for k, v in last.items()}
+    it = iter(ring)                   # epoch 1: starts the initial prefetch
+    first = next(it)                  # consume ONE batch (window = 2)
+    for f in ring._inflight:          # settle in-flight writes, then check
+        for fut in f[1]:
+            fut.result()
+    for k in held:
+        np.testing.assert_array_equal(last[k], held[k])
+    del first, it
+
+
 def test_loader_ring_persists_across_epochs(fixture_data):
     # the reuse_buffers ring + worker pool are instance state: epoch 2 must
     # reuse epoch 1's preallocated batch arrays (the zero-fresh-page steady
@@ -295,13 +317,19 @@ def test_loader_ring_persists_across_epochs(fixture_data):
     loader = Loader(ds, batch_size=2, shuffle=True, seed=3,
                     num_workers=2, reuse_buffers=True)
     first = [dict(b) for b in loader]          # epoch 0 (copies the dict shells)
-    ids_epoch0 = {id(v) for b in first for v in b.values()}
+    assert len(first) == len(loader)
     # break epoch 1 early mid-prefetch
     for i, b in enumerate(loader):
         if i == 0:
             break
     out = list(loader)                          # epoch 2 runs clean
     assert len(out) == len(loader)
+    # every epoch-2 batch is served from the INSTANCE ring (slots rotate
+    # across epochs — the persistent window — but the preallocated arrays
+    # are the same pool, and the pool never grows past the ring size)
+    ring_ids = {id(arr) for buf in loader._buffers if buf
+                for arr in buf.values()}
     ids_epoch2 = {id(v) for b in out for v in b.values()}
-    assert ids_epoch0 & ids_epoch2, "ring buffers were not reused"
+    assert ids_epoch2 <= ring_ids, "epoch-2 batches not served from the ring"
+    assert sum(b is not None for b in loader._buffers) <= len(loader._buffers)
     loader.close()

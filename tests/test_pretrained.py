@@ -134,7 +134,9 @@ def test_pretrained_hdf5_datasets(tmp_path, rng):
     assert d2["objectness_scores"].shape == (8, 2)
     # masked proposals have ~1 objectness prob on class 1
     assert d2["objectness_scores"][0, 1] > 0.99
-    assert d2["objectness_scores"][5, 0] > 0.99  # padded -> class 0
+    # padded slots are the reference's fill construction [1e-8, 1e-8]
+    # (lib/dataset_pretrained.py:861-862) — NOT a near-one-hot class 0
+    np.testing.assert_allclose(d2["objectness_scores"][5], [1e-8, 1e-8])
     assert d2["ref_box_corner_label"].shape == (8, 3)
     assert d2["gt_box_masks"].sum() == 2
 

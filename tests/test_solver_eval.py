@@ -74,6 +74,41 @@ def test_solver_trains_and_checkpoints(tmp_path):
     assert len(leaves_a) == len(leaves_b)
 
 
+def test_solver_start_epoch_resumes_schedules(tmp_path):
+    """Resume contract (lib/solver.py:497-515 equivalent): start_epoch
+    shifts the epoch loop to GLOBAL numbering — LR schedules continue
+    where the interrupted run left off instead of restarting from 0, and
+    the resume bundle records the global epoch so a second resume cannot
+    miscount total epochs."""
+    mcfg = TINY
+    cfg = Config(model=mcfg)
+    vocab = make_vocab(num_vocabs=32)
+    loader = SyntheticLoader(mcfg, vocab, n_batches=1)
+    batch = {k: jnp.asarray(v) for k, v in loader.batches[0].items()}
+    model = CapNet(mcfg, num_vocabs=32)
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, donate=False)
+
+    lrs = []
+
+    def spy_step(state, b, lr, mom):
+        lrs.append(float(lr))
+        return step(state, b, lr, mom)
+
+    solver = Solver(cfg, model, state, spy_step, loader, lr_decay=True,
+                    stamp="resume_run", output_root=str(tmp_path),
+                    verbose=100)
+    solver(epochs=82, start_epoch=80)   # first decay milestone is epoch 80
+    assert len(lrs) == 2                # global epochs 80 and 81 only
+    want_lr = cfg.train.lr * cfg.train.lr_decay_rate
+    assert all(abs(l - want_lr) < 1e-6 * want_lr + 1e-9 for l in lrs), lrs
+    resume = solver.ckpt.restore("resume", {
+        "epoch": np.asarray(0), "params": state.params,
+        "batch_stats": state.batch_stats, "opt_state": state.opt_state,
+        "step": state.step})
+    assert int(resume["epoch"]) == 81   # GLOBAL epoch recorded
+
+
 def test_solver_full_loop_on_mesh(tmp_path):
     """VERDICT r4 #8: the Solver ORCHESTRATION layer (epoch loop, metric
     consumption, val_step eval, best-checkpoint selection, resume bundle)
