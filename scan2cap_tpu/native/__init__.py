@@ -105,6 +105,13 @@ def sample_gather(points: np.ndarray, choices: np.ndarray) -> np.ndarray:
     if lib is None:
         return points[choices]
     idx = np.ascontiguousarray(choices, np.int32)
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= len(points)):
+        # match the numpy fallback's failure mode: points[choices] raises
+        # IndexError where the native memcpy would silently read (or fault
+        # on) out-of-bounds heap bytes
+        raise IndexError(
+            f"sample_gather: choices out of range [0, {len(points)}) "
+            f"(min {int(idx.min())}, max {int(idx.max())})")
     out = np.empty((idx.shape[0], points.shape[1]), np.float32)
     lib.s2c_sample_gather(
         _fptr(points), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -159,8 +159,13 @@ class ShowAttendAndTell2D(nn.Module):
             d["lang_cap"], d["topdown_attn"] = self._decode(
                 t_feat, c_feat, d["lang_feat"], None, T, True)
         else:
+            # the reference's INFERENCE path feeds the RAW t_feat, not the
+            # reduced global-concat inp_feat its train path uses
+            # (tdbu.py:227 vs :174; widths coincide at context_size, so
+            # torch never errors) — replicated for converted-checkpoint
+            # output parity
             d["lang_cap"], d["topdown_attn"] = self._decode(
-                t_feat, c_feat, d["lang_feat"], d["glove_emb_table"],
+                d["t_feat"], c_feat, d["lang_feat"], d["glove_emb_table"],
                 self.max_desc_len - 1, False)
         return d
 

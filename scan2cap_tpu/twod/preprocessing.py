@@ -130,10 +130,17 @@ def build_database(
             c_feats = []
             for b in boxes:
                 x1, y1, x2, y2 = [int(v) for v in b["box"]]
-                crop = img[max(y1, 0):max(y2, y1 + 1),
-                           max(x1, 0):max(x2, x1 + 1)]
-                if crop.size == 0:
-                    crop = img
+                # clamp INTO the image before slicing: a negative end
+                # coordinate (detector box outside the render) would slice
+                # img[0:-5] — nearly the whole frame — instead of hitting
+                # the degenerate-crop fallback below
+                h, w = img.shape[:2]
+                y1c, y2c = np.clip([y1, y2], 0, h)
+                x1c, x2c = np.clip([x1, x2], 0, w)
+                if y2c <= y1c or x2c <= x1c:
+                    crop = img      # degenerate/outside box: whole frame
+                else:
+                    crop = img[y1c:y2c, x1c:x2c]
                 # resize crop to 64x64 by nearest sampling (no PIL dependency)
                 yy = (np.linspace(0, crop.shape[0] - 1, 64)).astype(int)
                 xx = (np.linspace(0, crop.shape[1] - 1, 64)).astype(int)

@@ -67,9 +67,18 @@ def main():
         ti.uname = ti.gname = ""
         return ti
 
-    with tarfile.open(SEED, "w:gz", compresslevel=9) as tf:
-        for name in entries:
-            tf.add(os.path.join(cache, name), arcname=name, filter=_pin)
+    # write through an explicit GzipFile with mtime=0: tarfile's "w:gz"
+    # stamps the CURRENT time into the gzip header, which alone made every
+    # rebuild a spurious multi-MB git diff despite the pinned TarInfos
+    import gzip
+
+    with open(SEED, "wb") as raw:
+        with gzip.GzipFile(filename="", fileobj=raw, mode="wb",
+                           compresslevel=9, mtime=0) as gz:
+            with tarfile.open(fileobj=gz, mode="w") as tf:
+                for name in entries:
+                    tf.add(os.path.join(cache, name), arcname=name,
+                           filter=_pin)
     if cache != CACHE:  # success: promote the rebuilt cache to live
         shutil.rmtree(CACHE, ignore_errors=True)
         os.rename(cache, CACHE)

@@ -90,13 +90,21 @@ def build_and_export(args):
     restored = CheckpointIO(os.path.join(folder, "ckpt")).restore_best_or_last(
         {"params": state.params, "batch_stats": state.batch_stats})
 
+    # the decoder's first GRU input is lang_feat slot 0 — at eval time the
+    # dataset fills it with the sos embedding (data/vocab.encode_caption),
+    # so the serving artifact must too: a zero start vector shifts every
+    # subsequent argmax vs scripts/eval.py on the same checkpoint
+    sos_vec = jnp.asarray(
+        train_ds.emb_table[int(train_ds.vocabulary["word2idx"]["sos"])],
+        jnp.float32)
+
     def serve(point_clouds):
+        lang = jnp.zeros((point_clouds.shape[0],
+                          mcfg.max_des_len + 2, mcfg.emb_size), jnp.float32)
         batch = {
             "point_clouds": point_clouds,
             # serving decodes from sos only; the decoder reads slot 0
-            "lang_feat": jnp.zeros((point_clouds.shape[0],
-                                    mcfg.max_des_len + 2, mcfg.emb_size),
-                                   jnp.float32),
+            "lang_feat": lang.at[:, 0].set(sos_vec),
             "glove_emb_table": jnp.asarray(train_ds.emb_table),
         }
         out = model.apply(restored, batch, use_tf=False, is_eval=True,

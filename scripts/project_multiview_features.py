@@ -89,7 +89,14 @@ def main():
                 hit = np.zeros(N, bool)
                 hit[ind3d[1:1 + ind3d[0]]] = True
                 if args.maxpool:
-                    agg[hit] = np.maximum(agg[hit], scattered[hit])
+                    # reference semantics (project_multiview_features.py:
+                    # 178-195): first coverage FILLS, repeat coverage
+                    # max-pools — max-pooling against the zero init would
+                    # clamp negative ENet (PReLU) channel values
+                    first = hit & ~written
+                    agg[first] = scattered[first]
+                    again = hit & written
+                    agg[again] = np.maximum(agg[again], scattered[again])
                 else:
                     first = hit & ~written
                     agg[first] = scattered[first]

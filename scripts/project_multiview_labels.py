@@ -13,15 +13,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
 
-# nyu40 color palette (first 21 entries cover the common classes)
-PALETTE = np.array([
-    [0, 0, 0], [174, 199, 232], [152, 223, 138], [31, 119, 180],
-    [255, 187, 120], [188, 189, 34], [140, 86, 75], [255, 152, 150],
-    [214, 39, 40], [197, 176, 213], [148, 103, 189], [196, 156, 148],
-    [23, 190, 207], [178, 76, 76], [247, 182, 210], [66, 188, 102],
-    [219, 219, 141], [140, 57, 197], [202, 185, 52], [51, 176, 203],
-    [200, 54, 131],
-], np.uint8)
+from scan2cap_tpu.utils.colors import NYU40_COLORS
+
+# nyu40 color palette: label 0 = unlabeled (black), labels 1-20 are the
+# shared byte-identical NYU40 table (ONE copy, utils/colors.py)
+PALETTE = np.concatenate(
+    [np.zeros((1, 3), np.uint8),
+     np.asarray(NYU40_COLORS[:20], np.uint8)], axis=0)
 
 
 def parse_args():

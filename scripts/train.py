@@ -47,7 +47,15 @@ def parse_args():
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_detection", action="store_true")
     p.add_argument("--no_caption", action="store_true")
-    p.add_argument("--use_tf", action="store_true")
+    p.add_argument("--use_tf", action="store_true",
+                   help="accepted for reference-CLI compatibility and wired "
+                        "through to the train step, where — exactly as in "
+                        "the reference — the caption module ignores it: "
+                        "training always teacher-forces "
+                        "(caption_module.py:79-119 reads word_embs "
+                        "unconditionally) and eval always decodes "
+                        "free-running (lib/solver.py:343 hardcodes "
+                        "use_tf=False)")
     p.add_argument("--use_color", action="store_true")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
@@ -320,7 +328,11 @@ def train(args):
         caption=not args.no_caption,
         orientation=args.use_orientation,
         distance=args.use_distance,
-        use_tf=True)
+        # reaches the same depth as the reference's flag (scripts/
+        # train.py:171 -> lib/solver.py:294 -> train forward) where the
+        # caption module ignores it — train is ALWAYS teacher-forced on
+        # both sides; see the --use_tf help text
+        use_tf=args.use_tf)
     eval_step = make_eval_step(cfg, model)
     if mesh is not None:
         train_step = mesh_step_fn(train_step, mesh)

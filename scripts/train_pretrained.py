@@ -136,11 +136,20 @@ def train(args):
     # in-training caption eval (lib/solver_pretrained.py:283-295) —
     # wired when the val feature DB + organized json are present
     eval_fn = None
-    val_db = (args.features.replace("train", "val") if args.features else
-              os.path.join(paths.data,
-                           (f"gt_{args.dataset}_features_val.hdf5"
-                            if args.mode == "gt" else
-                            f"votenet_{args.dataset}_predictions_val.hdf5")))
+    if args.features:
+        # swap only the basename's LAST "train" for "val" — a blanket
+        # path.replace("train","val") would also rewrite directory
+        # components (/data/retrain_v2/...) and silently disable eval on
+        # the mangled path
+        import re
+        head, base = os.path.split(args.features)
+        val_db = os.path.join(
+            head, re.sub(r"train(?!.*train)", "val", base, count=1))
+    else:
+        val_db = os.path.join(paths.data,
+                              (f"gt_{args.dataset}_features_val.hdf5"
+                               if args.mode == "gt" else
+                               f"votenet_{args.dataset}_predictions_val.hdf5"))
     organized_path = os.path.join(paths.data,
                                   "ScanRefer_filtered_organized.json")
     if os.path.exists(val_db) and os.path.exists(organized_path):
@@ -164,15 +173,18 @@ def train(args):
                              seed=args.seed, drop_last=False)
         corpus = prepare_corpus(val_entries)
 
+        # jit ONCE with the state leaves as arguments: a fresh closure per
+        # eval_fn call would miss jax.jit's cache (keyed on the function
+        # object) and recompile the whole eval program at every val step
+        @jax.jit
+        def estep(params, batch_stats, batch):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               batch, use_tf=False, is_eval=True, train=False)
+
         def eval_fn(state):
-            @jax.jit
-            def estep(batch):
-                return model.apply(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
-                    batch, use_tf=False, is_eval=True, train=False)
             bleu, cider, rouge, meteor = eval_pretrained_cap(
-                estep, val_ds, val_loader, organized, corpus, mode=args.mode)
+                lambda b: estep(state.params, state.batch_stats, b),
+                val_ds, val_loader, organized, corpus, mode=args.mode)
             return {"bleu-4": bleu[0][3], "cider": cider[0],
                     "rouge": rouge[0], "meteor": meteor[0]}
 

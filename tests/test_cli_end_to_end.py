@@ -158,6 +158,9 @@ def test_train_cli_resume(cli_data):
     run_b = next(p for p in (cli_data / "outputs").iterdir()
                  if "RESUME_B" in p.name)
     log = (run_b / "log.txt").read_text()
-    # only the remaining single epoch ran
-    assert "epoch 1 starting..." in log
-    assert "epoch 2 starting..." not in log
+    # only the remaining single epoch ran, and it is numbered GLOBALLY
+    # (epoch 2 of 2): resume continues LR/BN schedules at the restored
+    # epoch and re-records global epochs in the resume bundle
+    assert "epoch 2 starting..." in log
+    assert "epoch 1 starting..." not in log
+    assert log.count("starting...") == 1

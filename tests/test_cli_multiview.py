@@ -70,9 +70,12 @@ def test_multiview_feature_pipeline(tmp_path, rng):
     with h5py.File(out_db, "r") as db:
         agg = np.asarray(db[scene])                # (3, 128)
     assert agg.shape == (3, 128)
-    # point 0 receives the feature column at its pixel (v=16, u=20)
-    np.testing.assert_allclose(agg[0], np.maximum(feat[:, 16, 20], 0.0),
-                               atol=1e-5)
+    # point 0 receives the feature column at its pixel (v=16, u=20) —
+    # INCLUDING negative PReLU channels: first coverage FILLS (reference
+    # project_multiview_features.py:178-195); only repeat coverage
+    # max-pools, so single-frame values are never clamped against the
+    # zero init
+    np.testing.assert_allclose(agg[0], feat[:, 16, 20], atol=1e-5)
     assert np.abs(agg[0]).max() > 0
     # the culled / depth-inconsistent points stay zero
     np.testing.assert_array_equal(agg[1], 0)
